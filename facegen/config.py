@@ -1,0 +1,236 @@
+"""Configuration dataclasses + CLI.
+
+Replaces the reference's `pl.lapp` flag blocks and the global ``OPT``
+table (train.lua:16-50, SURVEY.md section 5 "Config / flag system") with
+explicit, typed config objects. Every public reference flag is
+reproduced; TPU-specific knobs (mesh shape, compute dtype, per-chip
+batch) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Flags of `th train.lua` (train.lua:16-50) + TPU additions."""
+
+    # --- reference flags (names kept 1:1 where sensible) ------------------
+    batch_size: int = 32          # --batchSize (even, >= 4; train.lua:56-60)
+    save: str = "logs"            # --save
+    save_freq: int = 30           # --saveFreq
+    network: str = ""             # --network (checkpoint to resume)
+    noplot: bool = False          # --noplot
+    n_epoch: int = 1000           # --N_epoch (examples per epoch, -1 = all)
+    g_sgd_lr: float = 0.02        # --G_SGD_lr
+    g_sgd_momentum: float = 0.0   # --G_SGD_momentum
+    d_sgd_lr: float = 0.02        # --D_SGD_lr
+    d_sgd_momentum: float = 0.0   # --D_SGD_momentum
+    g_adam_lr: float = -1.0       # --G_adam_lr (-1 = optim default 0.001)
+    d_adam_lr: float = -1.0       # --D_adam_lr
+    g_l1: float = 0.0             # --G_L1
+    g_l2: float = 0.0             # --G_L2
+    d_l1: float = 0.0             # --D_L1
+    d_l2: float = 1e-4            # --D_L2
+    d_iterations: int = 1         # --D_iterations
+    g_iterations: int = 1         # --G_iterations
+    d_max_acc: float = 1.01       # --D_maxAcc (accuracy gate threshold)
+    d_clamp: float = 1.0          # --D_clamp (0 = off)
+    g_clamp: float = 5.0          # --G_clamp (0 = off)
+    d_optmethod: str = "adam"     # --D_optmethod: sgd|adagrad|adam
+    g_optmethod: str = "adam"     # --G_optmethod
+    threads: int = 8              # --threads (host-side decode workers here)
+    noise_dim: int = 100          # --noiseDim
+    window: int = 3               # --window (viz window id; PNG prefix here)
+    scale: int = 32               # --scale (16 or 32)
+    seed: int = 1                 # --seed
+    weights_vis_freq: int = 0     # --weightsVisFreq
+    grayscale: bool = False       # --grayscale
+    denoise: bool = False         # --denoise
+    aws: bool = False             # --aws (dataset dir switch, train.lua:166)
+
+    # --- TPU-native additions ---------------------------------------------
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all local devices, axis "data"
+    compute_dtype: str = "bfloat16"       # activations dtype; params stay fp32
+    reference_init: bool = True           # reproduce train.lua gaussian overwrite
+    reference_g_penalty_bug: bool = True  # reproduce adversarial.lua:223 (G_L2
+                                          # used for both L1 and L2 grad terms)
+    dataset_dir: Optional[str] = None     # override; default mirrors train.lua:166-173
+    synthetic_data: bool = False          # procedural faces when no LFW on disk
+    epochs: int = -1                      # stop after N epochs (-1 = run forever,
+                                          # like the reference's `while true`)
+
+    # ------------------------------------------------------------------
+    @property
+    def channels(self) -> int:
+        return 1 if self.grayscale else 3
+
+    @property
+    def img_shape(self) -> Tuple[int, int, int]:
+        """Per-example NHWC shape (reference IMG_DIMENSIONS is CHW)."""
+        return (self.scale, self.scale, self.channels)
+
+    @property
+    def input_sz(self) -> int:
+        return self.scale * self.scale * self.channels
+
+    @property
+    def accs_interval(self) -> int:
+        """Rolling window for the D accuracy gate.
+
+        train.lua:207: max(20, min(1000/batchSize, 250)); the Lua table
+        holds floor(value) entries once the `#accs > interval` trim in
+        adversarial.lua:157-159 kicks in.
+        """
+        return int(math.floor(max(20.0, min(1000.0 / self.batch_size, 250.0))))
+
+    @property
+    def d_adam_lr_effective(self) -> float:
+        return self.d_adam_lr if self.d_adam_lr > 0 else 1e-3
+
+    @property
+    def g_adam_lr_effective(self) -> float:
+        return self.g_adam_lr if self.g_adam_lr > 0 else 1e-3
+
+    def validate(self) -> "TrainConfig":
+        if self.batch_size % 2 != 0 or self.batch_size < 4:
+            raise ValueError(
+                "batch size must be a multiple of 2 and >= 4 (train.lua:56-60)"
+            )
+        if self.scale not in (16, 32):
+            # reference only warns (train.lua:52-54)
+            import warnings
+
+            warnings.warn("[Warning] models are not optimized for chosen scale")
+        if self.d_optmethod not in ("sgd", "adagrad", "adam"):
+            raise ValueError(f"unknown D optimizer {self.d_optmethod!r}")
+        if self.g_optmethod not in ("sgd", "adagrad", "adam"):
+            raise ValueError(f"unknown G optimizer {self.g_optmethod!r}")
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    """Flags of `th sample.lua` (sample.lua:9-24)."""
+
+    save: str = "logs"            # --save (checkpoint dir)
+    network: str = "adversarial.net"  # checkpoint file name
+    batch_size: int = 32
+    noise_dim: int = 100
+    scale: int = 32
+    grayscale: bool = False
+    seed: int = 1
+    gpu: int = 0                  # kept for CLI parity; ignored (TPU)
+    runs: int = 1                 # --runs
+    neighbours: bool = False      # --neighbours
+    writeto: str = "samples"      # --writeto
+    aws: bool = False
+
+    @property
+    def channels(self) -> int:
+        return 1 if self.grayscale else 3
+
+
+def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help: str):
+    p.add_argument(name, action="store_true", default=default, help=help)
+
+
+def train_arg_parser() -> argparse.ArgumentParser:
+    """CLI mirroring train.lua's lapp block flag-for-flag."""
+    p = argparse.ArgumentParser(
+        description="facegen TPU GAN trainer (reference: th train.lua)"
+    )
+    p.add_argument("--batchSize", type=int, default=32, dest="batch_size")
+    p.add_argument("--save", type=str, default="logs")
+    p.add_argument("--saveFreq", type=int, default=30, dest="save_freq")
+    p.add_argument("--network", type=str, default="")
+    _add_bool(p, "--noplot", False, "do not dump visualization grids")
+    p.add_argument("--N_epoch", type=int, default=1000, dest="n_epoch")
+    p.add_argument("--G_SGD_lr", type=float, default=0.02, dest="g_sgd_lr")
+    p.add_argument("--G_SGD_momentum", type=float, default=0.0, dest="g_sgd_momentum")
+    p.add_argument("--D_SGD_lr", type=float, default=0.02, dest="d_sgd_lr")
+    p.add_argument("--D_SGD_momentum", type=float, default=0.0, dest="d_sgd_momentum")
+    p.add_argument("--G_adam_lr", type=float, default=-1.0, dest="g_adam_lr")
+    p.add_argument("--D_adam_lr", type=float, default=-1.0, dest="d_adam_lr")
+    p.add_argument("--G_L1", type=float, default=0.0, dest="g_l1")
+    p.add_argument("--G_L2", type=float, default=0.0, dest="g_l2")
+    p.add_argument("--D_L1", type=float, default=0.0, dest="d_l1")
+    p.add_argument("--D_L2", type=float, default=1e-4, dest="d_l2")
+    p.add_argument("--D_iterations", type=int, default=1, dest="d_iterations")
+    p.add_argument("--G_iterations", type=int, default=1, dest="g_iterations")
+    p.add_argument("--D_maxAcc", type=float, default=1.01, dest="d_max_acc")
+    p.add_argument("--D_clamp", type=float, default=1.0, dest="d_clamp")
+    p.add_argument("--G_clamp", type=float, default=5.0, dest="g_clamp")
+    p.add_argument("--D_optmethod", type=str, default="adam", dest="d_optmethod")
+    p.add_argument("--G_optmethod", type=str, default="adam", dest="g_optmethod")
+    p.add_argument("--threads", type=int, default=8)
+    p.add_argument("--gpu", type=int, default=0, help="ignored; TPU backend")
+    p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
+    p.add_argument("--window", type=int, default=3)
+    p.add_argument("--scale", type=int, default=32)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--weightsVisFreq", type=int, default=0, dest="weights_vis_freq")
+    _add_bool(p, "--grayscale", False, "train on 1-channel images")
+    _add_bool(p, "--denoise", False, "apply trained denoiser to samples")
+    _add_bool(p, "--aws", False, "AWS dataset path (train.lua:166-170)")
+    # TPU additions
+    p.add_argument("--computeDtype", type=str, default="bfloat16",
+                   dest="compute_dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
+                   help="comma-separated data-parallel mesh, -1 = all devices")
+    p.add_argument("--epochs", type=int, default=-1,
+                   help="number of epochs to run (-1 = forever)")
+    _add_bool(p, "--modernInit", False, "disable reference gaussian-overwrite init")
+    _add_bool(p, "--syntheticData", False, "use procedural data (no LFW needed)")
+    p.add_argument("--datasetDir", type=str, default=None, dest="dataset_dir")
+    return p
+
+
+def train_config_from_args(argv=None) -> TrainConfig:
+    args = train_arg_parser().parse_args(argv)
+    mesh = tuple(int(x) for x in str(args.mesh_shape).split(","))
+    cfg = TrainConfig(
+        batch_size=args.batch_size,
+        save=args.save,
+        save_freq=args.save_freq,
+        network=args.network,
+        noplot=args.noplot,
+        n_epoch=args.n_epoch,
+        g_sgd_lr=args.g_sgd_lr,
+        g_sgd_momentum=args.g_sgd_momentum,
+        d_sgd_lr=args.d_sgd_lr,
+        d_sgd_momentum=args.d_sgd_momentum,
+        g_adam_lr=args.g_adam_lr,
+        d_adam_lr=args.d_adam_lr,
+        g_l1=args.g_l1,
+        g_l2=args.g_l2,
+        d_l1=args.d_l1,
+        d_l2=args.d_l2,
+        d_iterations=args.d_iterations,
+        g_iterations=args.g_iterations,
+        d_max_acc=args.d_max_acc,
+        d_clamp=args.d_clamp,
+        g_clamp=args.g_clamp,
+        d_optmethod=args.d_optmethod,
+        g_optmethod=args.g_optmethod,
+        threads=args.threads,
+        noise_dim=args.noise_dim,
+        window=args.window,
+        scale=args.scale,
+        seed=args.seed,
+        weights_vis_freq=args.weights_vis_freq,
+        grayscale=args.grayscale,
+        denoise=args.denoise,
+        aws=args.aws,
+        mesh_shape=mesh,
+        compute_dtype=args.compute_dtype,
+        reference_init=not args.modernInit,
+        dataset_dir=args.dataset_dir,
+        synthetic_data=args.syntheticData,
+        epochs=args.epochs,
+    )
+    return cfg.validate()

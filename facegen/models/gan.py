@@ -1,0 +1,240 @@
+"""Generator / discriminator factories for the base GAN.
+
+TPU-native re-design of reference models.lua. Architectures (layer
+sequence, widths, kernels, activations) match the reference's used
+variants exactly so that parameter counts and training dynamics are
+comparable:
+
+- ``create_g`` -> G16 (models.lua:27-51) / G32 (models.lua:57-81):
+  Linear(noise -> 128*s0*s0) -> reshape -> PReLU ->
+  2 x [nearest-up x2 -> 5x5 conv -> BN -> PReLU] -> 3x3 conv -> sigmoid.
+- ``create_d`` -> D16_d (models.lua:279-316) / D32b (models.lua:382-416).
+  Our D outputs LOGITS; the reference ends in nn.Sigmoid + BCECriterion
+  (models.lua:413, train.lua:148). We fold the sigmoid into the loss
+  (sigmoid-BCE) for numerical stability and apply `jax.nn.sigmoid`
+  whenever a probability is needed — mathematically identical, stable in
+  bfloat16.
+
+Unused reference variants (D16, D16_b, D16_c, D32 — models.lua:110-277,
+322-376) are provided too, for checkpoint-level completeness of the
+component inventory (SURVEY.md section 2.1 row 5).
+
+Layout note: everything is NHWC; the reference's NCHW `nn.View(128,8,8)`
+becomes reshape (8,8,128). That changes which noise coordinate feeds
+which plane, not the architecture.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+
+from facegen.nn import branches, init as winit, layers as L, sequential
+from facegen.nn.core import Module
+
+
+def _heur_conv(in_c: int, k: int) -> float:
+    """heuristic scheme scale for a conv (weight-init.lua:14-16,55)."""
+    return winit.heuristic(in_c * k * k, 0)
+
+
+def _heur_dense(fan_in: int) -> float:
+    return winit.heuristic(fan_in, 0)
+
+
+def create_g(scale: int, channels: int, noise_dim: int) -> Module:
+    """G16/G32 dispatch (models.lua:87-93).
+
+    The two pyramid stages (nearest-up x2 then 5x5 conv) are the hot op;
+    see ops/pallas/upsample_conv.py for the fused kernel variant used by
+    the optimized forward path.
+    """
+    if scale == 16:
+        s0 = 4  # models.lua:29: Linear(noise, 128*4*4)
+    else:
+        s0 = scale // 4  # models.lua:59: Linear(noise, 128*8*8) at 32px
+
+    return sequential(
+        L.dense(128 * s0 * s0, w_std=_heur_dense(noise_dim), name="fc"),
+        L.reshape((s0, s0, 128)),
+        L.prelu(),
+        L.upsample_nearest(2),
+        L.conv2d(256, 5, w_std=_heur_conv(128, 5), name="conv1"),
+        L.batch_norm(),
+        L.prelu(),
+        L.upsample_nearest(2),
+        L.conv2d(128, 5, w_std=_heur_conv(256, 5), name="conv2"),
+        L.batch_norm(),
+        L.prelu(),
+        L.conv2d(channels, 3, w_std=_heur_conv(128, 3), name="conv_out"),
+        L.sigmoid(),
+        name="G",
+    )
+
+
+def create_d(scale: int, channels: int) -> Module:
+    """D dispatch (models.lua:98-104): D16_d at 16px, D32b at 32px."""
+    if scale == 16:
+        return create_d16_d(scale, channels)
+    return create_d32b(scale, channels)
+
+
+def create_d32b(scale: int, channels: int) -> Module:
+    """models.lua:382-416, minus the final sigmoid (folded into loss)."""
+    blocks = []
+    in_c = channels
+    for out_c in (64, 128, 256, 512):
+        blocks += [
+            L.conv2d(out_c, 3, name=f"conv{out_c}"),
+            L.prelu(),
+            L.spatial_dropout(0.2),
+            L.avg_pool(2),
+        ]
+        in_c = out_c
+    return sequential(
+        *blocks,
+        L.flatten(),
+        L.dense(512, name="fc1"),
+        L.prelu(),
+        L.dropout(0.5),
+        L.dense(512, name="fc2"),
+        L.prelu(),
+        L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="D32b",
+    )
+
+
+def create_d16_d(scale: int, channels: int) -> Module:
+    """models.lua:279-316 (the 16px D actually used), logits output."""
+    conv_branch = sequential(
+        L.conv2d(128, 3, name="conv1"),
+        L.prelu(),
+        L.conv2d(128, 3, name="conv2"),
+        L.prelu(),
+        L.avg_pool(2),
+        L.conv2d(512, 3, stride=2, name="conv3"),
+        L.prelu(),
+        L.conv2d(1024, 3, stride=2, name="conv4"),
+        L.prelu(),
+        L.spatial_dropout(0.5),
+        L.flatten(),
+        L.dense(1024, name="fc"),
+        L.prelu(),
+        name="conv_branch",
+    )
+    dense_branch = sequential(
+        L.flatten(),
+        L.dense(128, name="fc1"),
+        L.prelu(),
+        L.dropout(0.5),
+        L.dense(128, name="fc2"),
+        L.prelu(),
+        name="dense_branch",
+    )
+    return sequential(
+        branches(conv_branch, dense_branch),
+        L.dense(1, name="fc_out"),
+        name="D16d",
+    )
+
+
+def create_d16(scale: int, channels: int) -> Module:
+    """Unused reference variant models.lua:110-159 (3-branch), logits."""
+    fine = sequential(
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.max_pool(2), L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc"), L.prelu(), L.dropout(0.5),
+        name="fine",
+    )
+    coarse = sequential(
+        L.conv2d(32, 5, name="conv1"), L.prelu(),
+        L.conv2d(64, 5, name="conv2"), L.prelu(),
+        L.max_pool(2), L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc"), L.prelu(), L.dropout(0.5),
+        name="coarse",
+    )
+    dense_b = sequential(
+        L.flatten(), L.dense(1024, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1024, name="fc2"), L.prelu(),
+        name="dense",
+    )
+    return sequential(
+        branches(fine, coarse, dense_b),
+        L.dense(1024, name="fc_join"), L.prelu(), L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="D16",
+    )
+
+
+def create_d32(scale: int, channels: int) -> Module:
+    """Unused reference variant models.lua:322-376 (3-branch), logits."""
+    fine = sequential(
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.max_pool(2), L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc"), L.prelu(),
+        name="fine",
+    )
+    coarse = sequential(
+        L.conv2d(32, 5, name="conv1"), L.prelu(),
+        L.conv2d(32, 5, name="conv2"), L.prelu(),
+        L.max_pool(2),
+        L.conv2d(54, 5, name="conv3"), L.prelu(),
+        L.conv2d(54, 5, name="conv4"), L.prelu(),
+        L.max_pool(2), L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1024, name="fc2"), L.prelu(),
+        name="coarse",
+    )
+    dense_b = sequential(
+        L.flatten(), L.dense(1024, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1024, name="fc2"), L.prelu(),
+        name="dense",
+    )
+    return sequential(
+        branches(fine, coarse, dense_b),
+        L.dense(1024, name="fc_join"), L.prelu(), L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="D32",
+    )
+
+
+def init_gan(
+    key: jax.Array,
+    scale: int,
+    channels: int,
+    noise_dim: int,
+    reference_init: bool = True,
+) -> Tuple[Module, Module, dict]:
+    """Create G and D with reference-parity initialization.
+
+    reference_init=True reproduces the full reference pipeline: scheme
+    init inside the factories, then train.lua:137-138's gaussian
+    overwrite of every layer (N(0,0.005^2) weights / N(0,0.001^2)
+    biases — including PReLU slopes and BN gammas; SURVEY.md quirk b).
+    reference_init=False keeps the scheme/default init (the sane
+    "modern" option).
+
+    Returns (G, D, bundle) where bundle holds params/state for both.
+    """
+    g = create_g(scale, channels, noise_dim)
+    d = create_d(scale, channels)
+    kg, kd, kog, kod = jax.random.split(key, 4)
+    params_g, state_g, out_g = g.init(kg, (noise_dim,))
+    params_d, state_d, out_d = d.init(kd, (scale, scale, channels))
+    assert out_g == (scale, scale, channels), out_g
+    assert out_d == (1,), out_d
+    if reference_init:
+        params_g = winit.gaussian_overwrite(params_g, kog)
+        params_d = winit.gaussian_overwrite(params_d, kod)
+    bundle = {
+        "params_g": params_g,
+        "state_g": state_g,
+        "params_d": params_d,
+        "state_d": state_d,
+    }
+    return g, d, bundle
