@@ -1,0 +1,167 @@
+"""On-device batched affine augmentation.
+
+TPU-native replacement for the reference's offline Python augmenter
+(dataset/ImageAugmenter.py + generate_dataset.py:43-48). The reference
+pre-generates 19 augmented JPEG copies of each LFW face once, offline;
+we instead apply the SAME augmentation family on device, fully batched
+and jit-compiled, so every epoch sees fresh augmentations and the 20x
+dataset blow-up on disk disappears.
+
+Semantics parity with generate_dataset.py / ImageAugmenter.py:
+
+- per image: optional horizontal flip p=0.5 (generate_dataset.py:113-115,
+  applied BEFORE the warp, ImageAugmenter.py:570-581);
+- brightness multiply by U(1-b, 1+b), clip to [0,255]
+  (generate_dataset.py:118-120, 127-129);
+- affine warp with the center-relative matrix
+  to_center . Affine(scale, rotation, shear, translation) . to_topleft
+  (ImageAugmenter.py:185-197), bilinear interpolation, constant-0
+  outside (tf.warp mode="constant", generate_dataset.py:131);
+- default parameter ranges (generate_dataset.py:43-48): equal-axis scale
+  U(0.82, 1.10), rotation +-8 deg, shear 0, translation +-5 px,
+  brightness +-10%, noise off.
+
+Deviation (documented): the reference draws rotation/translation as
+integers (ImageAugmenter.py:165-169 random.randint); we draw continuous
+uniforms — a strict superset of the reference's augmentation family.
+
+The affine math uses skimage's convention: coordinates are (x, y) =
+(col, row); the forward matrix A = [[sx*cos r, -sy*sin(r+shear), tx],
+[sx*sin r, sy*cos(r+shear), ty], [0,0,1]]. Warping samples the INPUT at
+the inverse-mapped location of each output pixel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Defaults = generate_dataset.py:43-48."""
+
+    hflip: bool = True
+    scale_min: float = 0.82
+    scale_max: float = 1.10
+    rotation_deg: float = 8.0
+    shear_deg: float = 0.0
+    translation_px: float = 5.0
+    brightness: float = 0.10
+
+
+def sample_affine_params(key: jax.Array, n: int, cfg: AugmentConfig) -> dict:
+    """Draw per-image augmentation parameters (one key -> n images)."""
+    ks = jax.random.split(key, 6)
+    deg = jnp.pi / 180.0
+    return {
+        "flip": jax.random.bernoulli(ks[0], 0.5, (n,)) & jnp.bool_(cfg.hflip),
+        "scale": jax.random.uniform(ks[1], (n,), minval=cfg.scale_min, maxval=cfg.scale_max),
+        "rot": jax.random.uniform(ks[2], (n,), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg) * deg,
+        "shear": jax.random.uniform(ks[3], (n,), minval=-cfg.shear_deg, maxval=cfg.shear_deg) * deg,
+        "trans": jax.random.uniform(ks[4], (n, 2), minval=-cfg.translation_px, maxval=cfg.translation_px),
+        "bright": jax.random.uniform(ks[5], (n,), minval=1.0 - cfg.brightness, maxval=1.0 + cfg.brightness),
+    }
+
+
+def inverse_affine_matrices(params: dict, height: int, width: int) -> jax.Array:
+    """(N, 2, 3) matrices mapping OUTPUT (x, y, 1) -> INPUT (x, y).
+
+    Composition mirrors ImageAugmenter.py:185-197: shift the center
+    int(w/2), int(h/2) to the origin, apply the affine, shift back; the
+    whole thing inverted for sampling.
+    """
+    s = params["scale"]
+    r = params["rot"]
+    sh = params["shear"]
+    tx = params["trans"][:, 0]
+    ty = params["trans"][:, 1]
+    # forward 2x2 block (skimage AffineTransform convention)
+    a = s * jnp.cos(r)
+    b = -s * jnp.sin(r + sh)
+    c = s * jnp.sin(r)
+    d = s * jnp.cos(r + sh)
+    det = a * d - b * c
+    ia = d / det
+    ib = -b / det
+    ic = -c / det
+    id_ = a / det
+    cx = jnp.float32(width // 2)
+    cy = jnp.float32(height // 2)
+    # p_in = A^-1 @ (p_out - centre - t) + centre
+    ox = -cx - tx
+    oy = -cy - ty
+    m02 = ia * ox + ib * oy + cx
+    m12 = ic * ox + id_ * oy + cy
+    return jnp.stack(
+        [jnp.stack([ia, ib, m02], -1), jnp.stack([ic, id_, m12], -1)], axis=1
+    )
+
+
+def warp_bilinear(images: jax.Array, matrices: jax.Array) -> jax.Array:
+    """Batched inverse-map bilinear warp, constant-0 outside.
+
+    images: (N, H, W, C) float in [0,1]; matrices: (N, 2, 3) from
+    `inverse_affine_matrices`. Pure gather + FMA — vectorizes on the VPU
+    and fuses with neighbouring elementwise work under jit.
+    """
+    n, h, w, c = images.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W), x=col, y=row
+    ones = jnp.ones_like(gx)
+    coords = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3) as (x, y, 1)
+    src = jnp.einsum("nij,hwj->nhwi", matrices, coords)  # (N, H, W, 2) = (x, y)
+    sx, sy = src[..., 0], src[..., 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        batch = jnp.arange(n)[:, None, None]
+        vals = images[batch, yc, xc]  # (N, H, W, C)
+        inside = (
+            (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+        )[..., None]
+        return jnp.where(inside, vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def augment_batch(
+    key: jax.Array,
+    images: jax.Array,
+    cfg: AugmentConfig = AugmentConfig(),
+) -> jax.Array:
+    """Full augmentation: flip -> brightness+clip -> affine warp.
+
+    images: (N, H, W, C) uint8 or float in [0,1].
+    Returns float32 in [0,1] (like ImageAugmenter's output contract,
+    ImageAugmenter.py:615-619).
+    """
+    n, h, w, c = images.shape
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+    else:
+        x = images.astype(jnp.float32)
+    params = sample_affine_params(key, n, cfg)
+    flip = params["flip"][:, None, None, None]
+    x = jnp.where(flip, x[:, :, ::-1, :], x)
+    x = jnp.clip(x * params["bright"][:, None, None, None], 0.0, 1.0)
+    mats = inverse_affine_matrices(params, h, w)
+    return warp_bilinear(x, mats)

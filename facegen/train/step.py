@@ -1,0 +1,277 @@
+"""The jitted GAN train step and whole-epoch scan.
+
+This is the TPU-native redesign of the reference hot loop
+(adversarial.lua:54-300, SURVEY.md section 3.1). Key differences, each
+deliberate:
+
+- The WHOLE EPOCH is one compiled program: `lax.scan` over steps inside
+  a single jit/shard_map. The reference dispatches per batch from Lua
+  and crosses host<->device on every forward (nn_utils.lua:357-359); we
+  keep the epoch data pool, params, optimizer state, and the rolling
+  accuracy gate HBM-resident for the entire epoch.
+- The D accuracy gate (adversarial.lua:154-178) is carried state: a ring
+  buffer of per-batch accuracies + a masked optimizer update
+  (train/optim.py:gated_update). Skipped updates advance neither params
+  nor Adam moments, exactly like interruptable_optimizers.lua.
+- Static shapes: every batch is full-size. The reference shrinks the
+  tail batch (adversarial.lua:56); under XLA that would force a recompile
+  per shape, so we run floor/ceil full batches instead (examples are
+  drawn randomly either way, adversarial.lua:245).
+- Data parallelism: pass ``axis_name`` to psum-mean gradients and gate
+  statistics over the mesh. The gate decision is made on the GLOBAL
+  accuracy so every chip takes the same branch (SURVEY.md section 7).
+
+Batch semantics parity (adversarial.lua:54-76, 240-288): the loop
+advances by batchSize/2; each D iteration sees batchSize inputs = half
+real (uniform random draws from the pool) + half G samples; each G
+iteration uses batchSize fresh noise vectors with all-real targets.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from facegen.config import TrainConfig
+from facegen.nn.core import Ctx, Module
+from facegen.train import losses, metrics
+from facegen.train.optim import gated_update, make_optimizer
+
+
+class GanState(NamedTuple):
+    """Everything the training loop carries across steps/epochs.
+
+    Replaces the reference's globals MODEL_G/MODEL_D/OPTSTATE/CONFUSION/
+    adversarial.accs/EPOCH (train.lua:89-94, adversarial.lua:12).
+    """
+
+    params_g: Any
+    state_g: Any
+    params_d: Any
+    state_d: Any
+    opt_g: Any
+    opt_d: Any
+    accs: jax.Array        # (accs_interval,) f32 ring buffer of D batch accs
+    accs_n: jax.Array      # i32 total accs pushed (ring head = accs_n % K)
+    confusion: jax.Array   # (2,2) i32, reset each epoch (adversarial.lua:316)
+    trained_d: jax.Array   # i32 gate-open counter (adversarial.lua:306)
+    not_trained_d: jax.Array
+    epoch: jax.Array       # i32, 1-based like the reference
+
+
+class StepMetrics(NamedTuple):
+    loss_d: jax.Array
+    loss_g: jax.Array
+    acc_d: jax.Array       # current-batch D accuracy
+    gate_open: jax.Array   # f32 0/1: whether D trained this step
+
+
+def init_state(cfg: TrainConfig, bundle: dict) -> GanState:
+    tx_d = make_optimizer(cfg.d_optmethod, cfg, "D")
+    tx_g = make_optimizer(cfg.g_optmethod, cfg, "G")
+    return GanState(
+        params_g=bundle["params_g"],
+        state_g=bundle["state_g"],
+        params_d=bundle["params_d"],
+        state_d=bundle["state_d"],
+        opt_g=tx_g.init(bundle["params_g"]),
+        opt_d=tx_d.init(bundle["params_d"]),
+        accs=jnp.zeros((cfg.accs_interval,), jnp.float32),
+        accs_n=jnp.int32(0),
+        confusion=metrics.empty_confusion(),
+        trained_d=jnp.int32(0),
+        not_trained_d=jnp.int32(0),
+        epoch=jnp.int32(1),
+    )
+
+
+def steps_per_epoch(cfg: TrainConfig, pool_size: Optional[int] = None) -> int:
+    """Number of optimizer steps in one epoch.
+
+    Reference: for t = 1, N_epoch, batchSize/2, skipping tail batches
+    smaller than 4 (adversarial.lua:54-76). N_epoch <= 0 means the whole
+    dataset (adversarial.lua:33-35).
+    """
+    n = cfg.n_epoch if cfg.n_epoch > 0 else (pool_size or 0)
+    half = cfg.batch_size // 2
+    count = 0
+    t = 1
+    while t <= n:
+        if min(cfg.batch_size, n - t + 1) >= 4:
+            count += 1
+        t += half
+    return max(count, 1)
+
+
+def _psum_mean(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda x: lax.pmean(x, axis_name), tree)
+
+
+def make_train_step(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    num_shards: int = 1,
+    axis_name: Optional[str] = None,
+):
+    """Build ``step(state, rng, pool) -> (state, StepMetrics)``.
+
+    ``pool`` is the (per-shard) epoch data: (P, H, W, C) uint8, the
+    HBM-resident equivalent of TRAIN_DATA (train.lua:201). uint8 keeps
+    HBM footprint minimal; the cast to compute dtype happens on-chip at
+    batch-gather time.
+    """
+    assert cfg.batch_size % (2 * num_shards) == 0, (
+        "global batch must split evenly into half-real/half-fake per shard"
+    )
+    tx_d = make_optimizer(cfg.d_optmethod, cfg, "D")
+    tx_g = make_optimizer(cfg.g_optmethod, cfg, "G")
+    local_bs = cfg.batch_size // num_shards
+    half = local_bs // 2
+    dtype = jnp.dtype(cfg.compute_dtype)
+    k_ring = cfg.accs_interval
+
+    def d_iteration(state: GanState, rng: jax.Array, pool: jax.Array):
+        k_idx, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
+        idx = jax.random.randint(k_idx, (half,), 0, pool.shape[0])
+        real = pool[idx].astype(dtype) / jnp.asarray(255.0, dtype)
+        noise = jax.random.uniform(k_noise, (half, cfg.noise_dim), dtype, -1.0, 1.0)
+        # G forward in train mode: BN running stats update, like
+        # createImages under net:training() (adversarial.lua:252).
+        fake, state_g = g.apply(state.params_g, state.state_g, noise, Ctx(k_gen, True))
+        fake = lax.stop_gradient(fake)
+        inputs = jnp.concatenate([real, fake], axis=0)
+        targets = jnp.concatenate(
+            [jnp.ones((half,), jnp.float32), jnp.zeros((half,), jnp.float32)]
+        )
+
+        def loss_fn(params_d):
+            logits, sd = d.apply(params_d, state.state_d, inputs, Ctx(k_drop, True))
+            return losses.bce_with_logits(logits, targets), (logits, sd)
+
+        (loss, (logits, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params_d
+        )
+        grads = _psum_mean(grads, axis_name)
+        loss = _psum_mean(loss, axis_name)
+        loss = loss + losses.penalty_loss(state.params_d, cfg.d_l1, cfg.d_l2)
+        grads = losses.add_penalty_grads(grads, state.params_d, cfg.d_l1, cfg.d_l2)
+        grads = losses.clamp_grads(grads, cfg.d_clamp)
+
+        acc = _psum_mean(losses.batch_accuracy(logits, targets), axis_name)
+        conf_delta = metrics.update_confusion(
+            jnp.zeros((2, 2), jnp.int32), logits, targets
+        )
+        if axis_name is not None:
+            conf_delta = lax.psum(conf_delta, axis_name)
+
+        # ring-buffer push + rolling mean (adversarial.lua:154-167)
+        slot = state.accs_n % k_ring
+        accs = state.accs.at[slot].set(acc)
+        accs_n = state.accs_n + 1
+        count = jnp.minimum(accs_n, k_ring).astype(jnp.float32)
+        acc_avg = jnp.sum(accs) / count
+        do_train = acc_avg < cfg.d_max_acc
+
+        params_d, opt_d = gated_update(tx_d, grads, state.opt_d, state.params_d, do_train)
+
+        state = state._replace(
+            params_d=params_d,
+            opt_d=opt_d,
+            state_g=state_g,
+            state_d=state_d,
+            accs=accs,
+            accs_n=accs_n,
+            confusion=state.confusion + conf_delta,
+            trained_d=state.trained_d + do_train.astype(jnp.int32),
+            not_trained_d=state.not_trained_d + (1 - do_train.astype(jnp.int32)),
+        )
+        return state, loss, acc, do_train
+
+    def g_iteration(state: GanState, rng: jax.Array):
+        k_noise, k_gen, k_drop = jax.random.split(rng, 3)
+        noise = jax.random.uniform(k_noise, (local_bs, cfg.noise_dim), dtype, -1.0, 1.0)
+        targets = jnp.ones((local_bs,), jnp.float32)  # Y_NOT_GENERATOR
+
+        def loss_fn(params_g):
+            imgs, sg = g.apply(params_g, state.state_g, noise, Ctx(k_gen, True))
+            logits, sd = d.apply(state.params_d, state.state_d, imgs, Ctx(k_drop, True))
+            return losses.bce_with_logits(logits, targets), (sg, sd)
+
+        (loss, (state_g, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params_g
+        )
+        grads = _psum_mean(grads, axis_name)
+        loss = _psum_mean(loss, axis_name)
+        loss = loss + losses.penalty_loss(state.params_g, cfg.g_l1, cfg.g_l2)
+        # reference bug (adversarial.lua:223): gradient uses G_L2 twice
+        sign_coef = cfg.g_l2 if cfg.reference_g_penalty_bug else cfg.g_l1
+        grads = losses.add_penalty_grads(grads, state.params_g, sign_coef, cfg.g_l2)
+        grads = losses.clamp_grads(grads, cfg.g_clamp)
+
+        always = jnp.bool_(True)
+        params_g, opt_g = gated_update(tx_g, grads, state.opt_g, state.params_g, always)
+        state = state._replace(
+            params_g=params_g, opt_g=opt_g, state_g=state_g, state_d=state_d
+        )
+        return state, loss
+
+    def step(state: GanState, rng: jax.Array, pool: jax.Array):
+        loss_d = jnp.float32(0.0)
+        acc = jnp.float32(0.0)
+        gate = jnp.bool_(False)
+        for k in range(cfg.d_iterations):
+            state, loss_d, acc, gate = d_iteration(
+                state, jax.random.fold_in(rng, k), pool
+            )
+        loss_g = jnp.float32(0.0)
+        for k in range(cfg.g_iterations):
+            state, loss_g = g_iteration(state, jax.random.fold_in(rng, 1000 + k))
+        return state, StepMetrics(loss_d, loss_g, acc, gate.astype(jnp.float32))
+
+    return step
+
+
+def make_epoch_fn(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    num_shards: int = 1,
+    axis_name: Optional[str] = None,
+    pool_size: Optional[int] = None,
+):
+    """Build ``epoch(state, rng, pool) -> (state, stacked StepMetrics)``
+    — one `lax.scan` over all steps of an epoch, jit- or shard_map-ready.
+
+    The confusion matrix and D-trained counters accumulate across the
+    epoch; the caller prints and resets them (adversarial.lua:302-316).
+    """
+    step = make_train_step(g, d, cfg, num_shards, axis_name)
+    n_steps = steps_per_epoch(cfg, pool_size)
+
+    def epoch(state: GanState, rng: jax.Array, pool: jax.Array):
+        def body(carry, i):
+            new_state, m = step(carry, jax.random.fold_in(rng, i), pool)
+            return new_state, m
+
+        state, ms = lax.scan(body, state, jnp.arange(n_steps))
+        state = state._replace(epoch=state.epoch + 1)
+        return state, ms
+
+    return epoch
+
+
+def reset_epoch_stats(state: GanState) -> GanState:
+    """Zero confusion + gate counters at epoch end (adversarial.lua:316)."""
+    return state._replace(
+        confusion=metrics.empty_confusion(),
+        trained_d=jnp.int32(0),
+        not_trained_d=jnp.int32(0),
+    )
