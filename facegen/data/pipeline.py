@@ -1,0 +1,130 @@
+"""Epoch data pipeline: host store -> HBM-resident uint8 pool.
+
+Replaces dataset.lua's per-epoch JPEG reload (train.lua:201 ->
+dataset.lua:80-117 decodes and bilinearly rescales every image from disk
+EVERY epoch) with:
+
+  1. host: sample N_epoch random rows from the memory-mapped store
+     (uint8, 64x64x3) — a cheap gather;
+  2. one device_put of the uint8 block (the only host->device transfer
+     per epoch);
+  3. on device, jit-compiled: optional augmentation (data/augment.py),
+     grayscale conversion, bilinear resize to the training scale, back
+     to uint8 for HBM-resident storage.
+
+The train step then gathers random batches from this pool entirely
+on-chip (train/step.py), so steady-state training does zero host
+round-trips — the reference crosses host<->GPU per forward
+(nn_utils.lua:357-359).
+
+Grayscale uses the BT.601 luma weights torch's image.rgb2y applies for
+1-channel loads (dataset.lua:90 image.load(..., nbChannels)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facegen.data.augment import AugmentConfig, augment_batch
+
+_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("scale", "channels", "augment"))
+def prepare_pool(
+    raw: jax.Array,
+    key: jax.Array,
+    scale: int,
+    channels: int,
+    augment: bool = True,
+) -> jax.Array:
+    """(N, 64, 64, 3) uint8 -> (N, scale, scale, channels) uint8."""
+    x = raw.astype(jnp.float32) / 255.0
+    if augment:
+        x = augment_batch(key, x, AugmentConfig())
+    if channels == 1:
+        x = (x @ _LUMA)[..., None]
+    n = x.shape[0]
+    if scale != x.shape[1]:
+        x = jax.image.resize(x, (n, scale, scale, channels), method="linear")
+    return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+
+@dataclasses.dataclass
+class DataSource:
+    """Uniform front for packed-LFW or synthetic data.
+
+    `epoch_pool(key, n)` returns an (n, scale, scale, channels) uint8
+    device array — the equivalent of TRAIN_DATA = loadRandomImages(N)
+    (train.lua:201).
+    """
+
+    scale: int
+    channels: int
+    store: Optional[np.ndarray] = None  # memmap (N, 64, 64, 3) uint8
+    synthetic: bool = False
+    augment: bool = True
+    holdout: int = 0  # first `holdout` rows reserved (validation, c2f)
+
+    @property
+    def size(self) -> int:
+        if self.store is not None:
+            return int(self.store.shape[0]) - self.holdout
+        return 1 << 30  # synthetic: unbounded
+
+    def raw_batch(self, key: jax.Array, n: int) -> jax.Array:
+        """(n, 64, 64, 3) uint8 on device, pre-augmentation."""
+        if self.synthetic or self.store is None:
+            from facegen.data.synthetic import synthetic_faces
+
+            return synthetic_faces(key, n)
+        idx = np.sort(
+            np.asarray(
+                jax.random.randint(key, (n,), self.holdout, self.store.shape[0])
+            )
+        )  # sorted for sequential-ish memmap reads
+        block = np.ascontiguousarray(self.store[idx])
+        return jax.device_put(block)
+
+    def epoch_pool(self, key: jax.Array, n: int) -> jax.Array:
+        k_sel, k_aug = jax.random.split(key)
+        raw = self.raw_batch(k_sel, n)
+        return prepare_pool(raw, k_aug, self.scale, self.channels, self.augment)
+
+    def range_pool(self, start: int, count: int, key: jax.Array) -> jax.Array:
+        """Deterministic contiguous slice (dataset.lua:46-74
+        loadImages(startAt, count)) — used for validation sets."""
+        if self.synthetic or self.store is None:
+            from facegen.data.synthetic import synthetic_faces
+
+            raw = synthetic_faces(jax.random.key(start), count)
+        else:
+            raw = jax.device_put(
+                np.ascontiguousarray(self.store[start : start + count])
+            )
+        return prepare_pool(raw, key, self.scale, self.channels, augment=False)
+
+
+def make_source(cfg, holdout: int = 0) -> DataSource:
+    """Build the DataSource a TrainConfig describes (store path selection
+    mirrors train.lua:166-173)."""
+    from facegen.data import lfw
+
+    if cfg.synthetic_data:
+        return DataSource(cfg.scale, cfg.channels, synthetic=True, holdout=holdout)
+    path = lfw.default_store_path(cfg.aws, cfg.dataset_dir)
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"packed dataset {path!r} not found; build it with "
+            "`python -m facegen.data.lfw --path=/path/to/lfw` or pass "
+            "--syntheticData"
+        )
+    return DataSource(cfg.scale, cfg.channels, store=lfw.load_store(path), holdout=holdout)

@@ -1,0 +1,175 @@
+"""Data layer tests: augmentation golden values vs a NumPy oracle,
+pipeline shapes/dtypes, LFW builder round-trip (SURVEY.md section 4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegen.data import augment as A
+from facegen.data.pipeline import DataSource, prepare_pool
+from facegen.data.synthetic import synthetic_faces
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+
+def numpy_warp_oracle(img, mat):
+    """Independent bilinear inverse-map warp (constant-0) oracle."""
+    h, w, c = img.shape
+    out = np.zeros_like(img, np.float32)
+    for y in range(h):
+        for x in range(w):
+            sx = mat[0, 0] * x + mat[0, 1] * y + mat[0, 2]
+            sy = mat[1, 0] * x + mat[1, 1] * y + mat[1, 2]
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            acc = np.zeros(c, np.float32)
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        acc += wy * wx * img[yy, xx]
+            out[y, x] = acc
+    return out
+
+
+def test_warp_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    params = {
+        "scale": jnp.array([0.9]),
+        "rot": jnp.array([0.1]),
+        "shear": jnp.array([0.0]),
+        "trans": jnp.array([[2.0, -1.0]]),
+    }
+    mats = A.inverse_affine_matrices(params, 16, 16)
+    got = A.warp_bilinear(jnp.asarray(img)[None], mats)[0]
+    ref = numpy_warp_oracle(img, np.asarray(mats[0]))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_identity_transform_is_identity():
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 12, 12, 1), jnp.float32)
+    params = {
+        "scale": jnp.array([1.0]),
+        "rot": jnp.array([0.0]),
+        "shear": jnp.array([0.0]),
+        "trans": jnp.array([[0.0, 0.0]]),
+    }
+    mats = A.inverse_affine_matrices(params, 12, 12)
+    out = A.warp_bilinear(img, mats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_pure_translation_shifts_pixels():
+    img = np.zeros((1, 8, 8, 1), np.float32)
+    img[0, 3, 3, 0] = 1.0
+    params = {
+        "scale": jnp.array([1.0]),
+        "rot": jnp.array([0.0]),
+        "shear": jnp.array([0.0]),
+        "trans": jnp.array([[2.0, 1.0]]),  # +2 in x (cols), +1 in y (rows)
+    }
+    mats = A.inverse_affine_matrices(params, 8, 8)
+    out = np.asarray(A.warp_bilinear(jnp.asarray(img), mats))[0, :, :, 0]
+    assert out[4, 5] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_augment_batch_ranges_and_dtype():
+    imgs = jax.random.randint(jax.random.key(0), (8, 64, 64, 3), 0, 256, jnp.uint8)
+    out = A.augment_batch(jax.random.key(1), imgs)
+    assert out.shape == (8, 64, 64, 3)
+    assert out.dtype == jnp.float32
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_augment_deterministic():
+    imgs = jax.random.randint(jax.random.key(0), (4, 32, 32, 3), 0, 256, jnp.uint8)
+    a = A.augment_batch(jax.random.key(9), imgs)
+    b = A.augment_batch(jax.random.key(9), imgs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hflip_only_flips_some_images():
+    cfg = A.AugmentConfig(
+        hflip=True, scale_min=1.0, scale_max=1.0, rotation_deg=0.0,
+        translation_px=0.0, brightness=0.0,
+    )
+    imgs = jax.random.randint(jax.random.key(0), (16, 8, 8, 1), 0, 256, jnp.uint8)
+    out = np.asarray(A.augment_batch(jax.random.key(2), imgs, cfg))
+    src = np.asarray(imgs, np.float32) / 255.0
+    same = [np.allclose(out[i], src[i], atol=1e-5) for i in range(16)]
+    flipped = [np.allclose(out[i], src[i, :, ::-1], atol=1e-5) for i in range(16)]
+    assert all(s or f for s, f in zip(same, flipped))
+    assert any(flipped) and any(same)
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scale,channels", [(32, 1), (32, 3), (16, 1)])
+def test_prepare_pool_shapes(scale, channels):
+    raw = jax.random.randint(jax.random.key(0), (10, 64, 64, 3), 0, 256, jnp.uint8)
+    pool = prepare_pool(raw, jax.random.key(1), scale, channels, augment=True)
+    assert pool.shape == (10, scale, scale, channels)
+    assert pool.dtype == jnp.uint8
+
+
+def test_synthetic_faces_shape_and_determinism():
+    a = synthetic_faces(jax.random.key(3), 6)
+    b = synthetic_faces(jax.random.key(3), 6)
+    assert a.shape == (6, 64, 64, 3) and a.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # images differ from each other
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(a[1]))
+
+
+def test_datasource_synthetic_pool():
+    src = DataSource(scale=32, channels=1, synthetic=True)
+    pool = src.epoch_pool(jax.random.key(0), 16)
+    assert pool.shape == (16, 32, 32, 1)
+
+
+def test_datasource_store_and_holdout(tmp_path):
+    store = np.random.RandomState(0).randint(0, 256, (20, 64, 64, 3)).astype(np.uint8)
+    src = DataSource(scale=16, channels=3, store=store, holdout=5)
+    assert src.size == 15
+    pool = src.epoch_pool(jax.random.key(0), 8)
+    assert pool.shape == (8, 16, 16, 3)
+    val = src.range_pool(0, 5, jax.random.key(1))
+    assert val.shape == (5, 16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# LFW builder
+# ---------------------------------------------------------------------------
+
+
+def test_lfw_builder_roundtrip(tmp_path):
+    from PIL import Image
+
+    from facegen.data import lfw
+
+    # fake LFW layout: person dirs with 250x250 jpgs
+    rng = np.random.RandomState(0)
+    for person in ["Alpha_Beta", "Gamma_Delta"]:
+        d = tmp_path / "lfw" / person
+        d.mkdir(parents=True)
+        for i in range(2):
+            img = rng.randint(0, 256, (250, 250, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{person}_{i:04d}.jpg")
+    out = lfw.build_dataset(str(tmp_path / "lfw"), str(tmp_path / "packed.npy"))
+    arr = lfw.load_store(out)
+    assert arr.shape == (4, 64, 64, 3)
+    assert arr.dtype == np.uint8
+    # determinism of scan order
+    paths = lfw.scan_image_paths([str(tmp_path / "lfw")])
+    assert paths == sorted(paths)
+    assert len(paths) == 4
