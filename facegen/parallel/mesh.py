@@ -1,0 +1,125 @@
+"""Device mesh + SPMD data-parallel training.
+
+The reference is strictly single-device (`cutorch.setDevice`,
+train.lua:79; SURVEY.md section 2.3: no DP/TP/PP/EP, no NCCL/MPI). Its
+TPU-native replacement is this module: a 1-D `jax.sharding.Mesh` over
+the slice's chips with `jax.shard_map`-wrapped train/epoch functions.
+
+Sharding layout (the scaling-book recipe for a model this size —
+G~2.5M / D~2.9M params, far below per-chip HBM):
+
+- params, optimizer state, gate ring buffer, confusion: REPLICATED
+  (PartitionSpec()); gradient psum-mean over the "data" axis rides ICI.
+- epoch data pool + per-step batches: SHARDED on axis "data"
+  (PartitionSpec('data')) — each chip gathers/augments/trains on its
+  shard, so per-step HBM traffic scales down 1/N.
+- PRNG: one key per epoch, folded with `lax.axis_index("data")` inside
+  the shard so each chip draws independent noise/batches while the
+  psum'd update stays bitwise-identical on every chip.
+
+TP/PP/SP/EP are deliberately N/A at this model scale (SURVEY.md
+section 2.3); the param pytrees are ordinary dicts, so tensor-sharding
+annotations can be added per-leaf later without API changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facegen.config import TrainConfig
+from facegen.nn.core import Module
+from facegen.train.step import GanState, make_epoch_fn, make_train_step
+
+DATA_AXIS = "data"
+
+
+def make_mesh(mesh_shape: Sequence[int] = (-1,), devices=None) -> Mesh:
+    """1-D data mesh. mesh_shape (-1,) = all local devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    shape = tuple(mesh_shape)
+    if shape == (-1,) or shape == (-1,):
+        shape = (n,)
+    total = 1
+    for s in shape:
+        total *= s
+    if total > n:
+        raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
+    import numpy as np
+
+    mesh_devices = np.asarray(devices[:total]).reshape(shape)
+    axis_names = (DATA_AXIS,) if len(shape) == 1 else tuple(
+        f"axis{i}" for i in range(len(shape))
+    )
+    return Mesh(mesh_devices, axis_names)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated on every mesh device."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_pool(pool: jax.Array, mesh: Mesh) -> jax.Array:
+    """Shard the epoch pool along the batch dim over the data axis."""
+    n = mesh.shape[DATA_AXIS]
+    usable = (pool.shape[0] // n) * n
+    return jax.device_put(pool[:usable], NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def make_parallel_epoch(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    pool_size: Optional[int] = None,
+):
+    """Data-parallel whole-epoch function: (state, rng, pool) ->
+    (state, metrics); state replicated, pool sharded on 'data'."""
+    n = mesh.shape[DATA_AXIS]
+    inner = make_epoch_fn(g, d, cfg, num_shards=n, axis_name=DATA_AXIS,
+                          pool_size=pool_size)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def epoch(state: GanState, rng: jax.Array, pool: jax.Array):
+        rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
+        return inner(state, rng, pool)
+
+    return jax.jit(epoch)
+
+
+def make_parallel_step(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+):
+    """Single data-parallel train step (used by the multichip dryrun and
+    step-at-a-time drivers)."""
+    n = mesh.shape[DATA_AXIS]
+    inner = make_train_step(g, d, cfg, num_shards=n, axis_name=DATA_AXIS)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(state: GanState, rng: jax.Array, pool: jax.Array):
+        rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
+        return inner(state, rng, pool)
+
+    return jax.jit(step)

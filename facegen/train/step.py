@@ -159,6 +159,10 @@ def make_train_step(
         (loss, (logits, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params_d
         )
+        # Keep carried state replicated across shards: running BN stats
+        # are pmean'd (sync-BN on the running estimates).
+        state_g = _psum_mean(state_g, axis_name)
+        state_d = _psum_mean(state_d, axis_name)
         grads = _psum_mean(grads, axis_name)
         loss = _psum_mean(loss, axis_name)
         loss = loss + losses.penalty_loss(state.params_d, cfg.d_l1, cfg.d_l2)
@@ -208,6 +212,8 @@ def make_train_step(
         (loss, (state_g, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params_g
         )
+        state_g = _psum_mean(state_g, axis_name)
+        state_d = _psum_mean(state_d, axis_name)
         grads = _psum_mean(grads, axis_name)
         loss = _psum_mean(loss, axis_name)
         loss = loss + losses.penalty_loss(state.params_g, cfg.g_l1, cfg.g_l2)
