@@ -99,15 +99,17 @@ def conv2d(
     def apply_fn(params, x, ctx):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
+        # No preferred_element_type: the MXU accumulates bf16 x bf16 in
+        # fp32 internally; keeping the HLO dtype uniform lets the conv
+        # transpose rules stay dtype-consistent under jax.grad.
         y = lax.conv_general_dilated(
             x,
             w,
             window_strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return (y + b.astype(jnp.float32)).astype(x.dtype)
+        return y + b
 
     return stateless(name, init_params, apply_fn)
 
