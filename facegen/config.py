@@ -118,7 +118,7 @@ class SampleConfig:
     """Flags of `th sample.lua` (sample.lua:9-24)."""
 
     save: str = "logs"            # --save (checkpoint dir)
-    network: str = "adversarial.net"  # checkpoint file name
+    network: str = "adversarial"  # checkpoint name (reference: adversarial.net)
     batch_size: int = 32
     noise_dim: int = 100
     scale: int = 32

@@ -1,0 +1,153 @@
+"""Sampler / eval CLI — the TPU rebuild of sample.lua.
+
+Per run (sample.lua:79-112): generate 1024 images with G, save
+`random1024_{run:04d}_base.png` (32 per row) and
+`random256_{run:04d}_base.png` (16 per row, random subset); rank all
+1024 with D and save `best_/worst_/random_{run:04d}_base.png` 8-per-row
+64-image grids; with --neighbours, find the nearest training image (L2)
+for each of the 16 best and save the paired grid
+`best_{run:04d}_neighbours_base.png`.
+
+The NN search is one MXU GEMM sweep over the HBM-resident dataset
+(utils/infer.py:nearest_neighbours) instead of the reference's
+O(16 x N) per-pair CPU loop (sample.lua:140-146, "takes long" per
+README.md:59).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facegen.config import SampleConfig
+from facegen.models import gan
+from facegen.utils import checkpoint as ckpt
+from facegen.utils.grids import save_grid, to_grid
+from facegen.utils.infer import GanInference, nearest_neighbours
+
+
+def load_models(cfg: SampleConfig):
+    """Load G/D from a training checkpoint (sample.lua:247-274)."""
+    from facegen.train.loop import CKPT_NAME
+
+    g, d, bundle = gan.init_gan(
+        jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim
+    )
+    name = (cfg.network or CKPT_NAME).rstrip("/")
+    # restore only the model sub-bundle; training-only leaves (optimizer
+    # moments, gate ring buffer) are irrelevant for sampling and may
+    # have config-dependent shapes
+    bundle, meta = ckpt.load(cfg.save, os.path.basename(name), bundle)
+    return g, d, bundle, meta
+
+
+def neighbours_grid(best: np.ndarray, matches: np.ndarray) -> np.ndarray:
+    """Interleave generated/neighbour pairs like toNeighboursGrid
+    (sample.lua:156-168): each column pair = (generated, its NN)."""
+    n = best.shape[0]
+    paired = np.empty((2 * n,) + best.shape[1:], best.dtype)
+    paired[0::2] = best
+    paired[1::2] = matches
+    return to_grid(paired, nrow=8)
+
+
+def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
+    """dataset: optional (N, H, W, C) uint8 array for --neighbours."""
+    g, d, bundle, meta = load_models(cfg)
+    inf = GanInference(g, d, cfg.noise_dim)
+    os.makedirs(cfg.writeto, exist_ok=True)
+    outputs = []
+    for run in range(1, cfg.runs + 1):
+        key = jax.random.fold_in(jax.random.key(cfg.seed), run)
+        k_gen, k_sub, k_rand = jax.random.split(key, 3)
+        images = inf.generate_n(bundle, k_gen, 1024)
+        imgs_np = np.asarray(images)
+
+        sub = np.asarray(
+            jax.random.permutation(k_sub, 1024)[:256]
+        )
+        p = lambda name: os.path.join(cfg.writeto, f"{name}_{run:04d}_base.png")
+        outputs.append(save_grid(p("random1024"), imgs_np, nrow=32))
+        outputs.append(save_grid(p("random256"), imgs_np[sub], nrow=16))
+
+        best, best_scores = inf.rank(bundle, images, ascending=False, max_out=64)
+        worst, _ = inf.rank(bundle, images, ascending=True, max_out=64)
+        rand64 = imgs_np[np.asarray(jax.random.permutation(k_rand, 1024)[:64])]
+        outputs.append(save_grid(p("best"), np.asarray(best), nrow=8))
+        outputs.append(save_grid(p("worst"), np.asarray(worst), nrow=8))
+        outputs.append(save_grid(p("random"), rand64, nrow=8))
+
+        if cfg.neighbours:
+            if dataset is None:
+                dataset = _load_dataset(cfg)
+            idx, dist = nearest_neighbours(jnp.asarray(best[:16]), dataset)
+            matches = np.asarray(dataset[idx[:, 0]], np.float32)
+            if matches.dtype != np.float32 or matches.max() > 1.5:
+                matches = matches.astype(np.float32) / 255.0
+            from facegen.utils.grids import save_png
+
+            grid = neighbours_grid(np.asarray(best[:16]), matches)
+            out_path = os.path.join(cfg.writeto, f"best_{run:04d}_neighbours_base.png")
+            outputs.append(save_png(out_path, grid))
+        if verbose:
+            print(f"run {run}/{cfg.runs} done "
+                  f"(best score {float(best_scores[0]):.3f})")
+    return outputs
+
+
+def _load_dataset(cfg: SampleConfig):
+    """Training images at sampler scale for the NN search
+    (sample.lua:135 loads the ENTIRE training set)."""
+    from facegen.data.lfw import default_store_path, load_store
+    from facegen.data.pipeline import prepare_pool
+
+    path = default_store_path(cfg.aws)
+    if os.path.exists(path):
+        store = load_store(path)
+        pools = []
+        for s in range(0, store.shape[0], 8192):
+            raw = jax.device_put(np.ascontiguousarray(store[s : s + 8192]))
+            pools.append(np.asarray(prepare_pool(
+                raw, jax.random.key(0), cfg.scale, cfg.channels, augment=False
+            )))
+        return np.concatenate(pools)
+    # synthetic fallback
+    from facegen.data.synthetic import synthetic_faces
+
+    raw = synthetic_faces(jax.random.key(0), 4096)
+    return np.asarray(prepare_pool(raw, jax.random.key(0), cfg.scale,
+                                   cfg.channels, augment=False))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="facegen sampler (reference: th sample.lua)")
+    p.add_argument("--save_base", type=str, default="logs", dest="save")
+    p.add_argument("--G_base", type=str, default="adversarial", dest="network")
+    p.add_argument("--neighbours", action="store_true")
+    p.add_argument("--scale", type=int, default=32)
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--writeto", type=str, default="samples")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--gpu", type=int, default=0, help="ignored; TPU backend")
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
+    p.add_argument("--batchSize", type=int, default=16, dest="batch_size")
+    p.add_argument("--aws", action="store_true")
+    a = p.parse_args(argv)
+    cfg = SampleConfig(
+        save=a.save, network=a.network, batch_size=a.batch_size,
+        noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
+        seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
+        writeto=a.writeto, aws=a.aws,
+    )
+    run_sampling(cfg)
+    print("Finished.")
+
+
+if __name__ == "__main__":
+    main()

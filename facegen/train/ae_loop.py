@@ -1,0 +1,239 @@
+"""Autoencoder / denoiser trainers.
+
+TPU rebuilds of the two auxiliary entry points:
+
+- `train_autoencoder` — train_autoencoder.lua:148-239: flat grayscale AE
+  on face crops, L1 loss (AbsCriterion :98), Adam, per-epoch shuffle,
+  checkpoint every 50 epochs (:227-235), NaN guard (:241-247).
+- `train_denoiser` — train_denoiser.lua:235-369: two-stage denoising AE;
+  per batch, AE1 (noise encoder + conv decoder) trains on BCE vs the
+  clean image, then AE2 (a second decoder) trains on AE1's OUTPUT, also
+  vs the clean image (:298-336). Saves `denoiser_CxHxW` with the three
+  sub-bundle keys (:352-363). Validation loss each epoch (:174-201).
+
+Both epochs are single compiled lax.scans; the NaN abort (the
+reference's exitIfNaNs) is a host-side check of the epoch-level loss.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facegen.config import TrainConfig
+from facegen.models import ae as AE
+from facegen.nn.core import Ctx
+from facegen.utils import checkpoint as ckpt
+
+
+def _sync(x) -> float:
+    return float(jnp.sum(x))
+
+
+def _shuffled_batches(key, n_pool, batch):
+    n_batches = n_pool // batch
+    perm = jax.random.permutation(key, n_pool)[: n_batches * batch]
+    return perm.reshape(n_batches, batch)
+
+
+# ---------------------------------------------------------------------------
+# flat autoencoder
+# ---------------------------------------------------------------------------
+
+
+def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3):
+    tx = optax.adam(adam_lr)
+
+    def epoch(params, state, opt, rng, pool):
+        n_pool = pool.shape[0]
+        idx = _shuffled_batches(jax.random.fold_in(rng, 0), n_pool, cfg.batch_size)
+
+        def body(carry, ib):
+            params, state, opt = carry
+            i, batch_idx = ib
+            x = pool[batch_idx].astype(jnp.float32) / 255.0
+            k = jax.random.fold_in(rng, 1 + i)
+
+            def loss_fn(p):
+                y, s = model.apply(p, state, x, Ctx(k, True))
+                return jnp.mean(jnp.abs(y - x)), s  # AbsCriterion
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt), loss
+
+        (params, state, opt), losses = jax.lax.scan(
+            body, (params, state, opt), (jnp.arange(idx.shape[0]), idx)
+        )
+        return params, state, opt, losses
+
+    return jax.jit(epoch)
+
+
+def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
+                      verbose: bool = True):
+    """Returns (model, params, state, history). Grayscale by default —
+    the reference AE is 1-channel only (train_autoencoder.lua:56-57)."""
+    from facegen.data.pipeline import make_source
+
+    noise_dim = cfg.noise_dim if cfg.noise_dim != 100 else 256  # AE default :22
+    model = AE.create_autoencoder(cfg.scale, cfg.channels, noise_dim)
+    params, state, _ = model.init(jax.random.key(cfg.seed),
+                                  (cfg.scale, cfg.scale, cfg.channels))
+    from facegen.nn import init as winit
+
+    params = winit.gaussian_overwrite(params, jax.random.key(cfg.seed + 1))
+    tx_opt = optax.adam(1e-3).init(params)
+    epoch_fn = make_ae_epoch(model, cfg)
+    source = source or make_source(cfg)
+    pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
+                             min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
+    history = []
+    n = epochs if epochs is not None else (cfg.epochs if cfg.epochs > 0 else 1)
+    for e in range(n):
+        t0 = time.perf_counter()
+        params, state, tx_opt, losses = epoch_fn(
+            params, state, tx_opt, jax.random.fold_in(jax.random.key(cfg.seed), e), pool
+        )
+        mean_loss = _sync(losses) / max(losses.shape[0], 1)
+        dt = time.perf_counter() - t0
+        if mean_loss != mean_loss:  # NaN guard (train_autoencoder.lua:241-247)
+            raise FloatingPointError(f"NaN loss at epoch {e}")
+        history.append({"epoch": e + 1, "loss": mean_loss, "seconds": dt})
+        if verbose:
+            print(f"<AE> epoch {e+1}: L1 loss {mean_loss:.5f} ({dt:.2f}s)")
+        if (e + 1) % 50 == 0:
+            ckpt.save(cfg.save, AE.AE_CKPT_NAME,
+                      {"params": params, "state": state, "opt": tx_opt},
+                      meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
+    return model, params, state, history
+
+
+# ---------------------------------------------------------------------------
+# two-stage denoiser
+# ---------------------------------------------------------------------------
+
+
+def _bce(y, t):
+    eps = 1e-7
+    y = jnp.clip(y.astype(jnp.float32), eps, 1 - eps)
+    t = t.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(y) + (1 - t) * jnp.log1p(-y))
+
+
+def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig):
+    tx = optax.adam(1e-3)
+
+    def epoch(bundle, opt1, opt2, rng, pool):
+        idx = _shuffled_batches(jax.random.fold_in(rng, 0), pool.shape[0],
+                                cfg.batch_size)
+
+        def body(carry, ib):
+            bundle, opt1, opt2 = carry
+            i, batch_idx = ib
+            x = pool[batch_idx].astype(jnp.float32) / 255.0
+            k = jax.random.fold_in(rng, 1 + i)
+            k_enc, k_d1, k_d2 = jax.random.split(k, 3)
+
+            # AE1: encoder (white noise) + decoder1, BCE vs clean x
+            def loss1(p1):
+                noisy, s_enc = enc.apply(bundle["AE1_ENCODER"]["params"],
+                                         bundle["AE1_ENCODER"]["state"],
+                                         x, Ctx(k_enc, True))
+                y, s1 = dec1.apply(p1, bundle["AE1_DECODER"]["state"], noisy,
+                                   Ctx(k_d1, True))
+                return _bce(y, x), (y, s1)
+
+            (l1, (y1, s1)), g1 = jax.value_and_grad(loss1, has_aux=True)(
+                bundle["AE1_DECODER"]["params"]
+            )
+            up1, opt1 = tx.update(g1, opt1, bundle["AE1_DECODER"]["params"])
+            p1 = optax.apply_updates(bundle["AE1_DECODER"]["params"], up1)
+
+            # AE2: second decoder consumes AE1's output (train_denoiser.lua:298-336)
+            y1 = jax.lax.stop_gradient(y1)
+
+            def loss2(p2):
+                y, s2 = dec2.apply(p2, bundle["AE2_DECODER"]["state"], y1,
+                                   Ctx(k_d2, True))
+                return _bce(y, x), s2
+
+            (l2, s2), g2 = jax.value_and_grad(loss2, has_aux=True)(
+                bundle["AE2_DECODER"]["params"]
+            )
+            up2, opt2 = tx.update(g2, opt2, bundle["AE2_DECODER"]["params"])
+            p2 = optax.apply_updates(bundle["AE2_DECODER"]["params"], up2)
+
+            bundle = {
+                "AE1_ENCODER": bundle["AE1_ENCODER"],
+                "AE1_DECODER": {"params": p1, "state": s1},
+                "AE2_DECODER": {"params": p2, "state": s2},
+            }
+            return (bundle, opt1, opt2), jnp.stack([l1, l2])
+
+        (bundle, opt1, opt2), losses = jax.lax.scan(
+            body, (bundle, opt1, opt2), (jnp.arange(idx.shape[0]), idx)
+        )
+        return bundle, opt1, opt2, losses
+
+    return jax.jit(epoch)
+
+
+def make_denoiser_val(dec1, cfg: TrainConfig):
+    @jax.jit
+    def val_loss(bundle, pool):
+        x = pool.astype(jnp.float32) / 255.0
+        y, _ = dec1.apply(bundle["AE1_DECODER"]["params"],
+                          bundle["AE1_DECODER"]["state"], x, Ctx(None, False))
+        return _bce(y, x)
+
+    return val_loss
+
+
+def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
+                   verbose: bool = True):
+    """Returns (modules, bundle, history). Default scale for the
+    reference denoiser is 16 (train_denoiser.lua:34)."""
+    from facegen.data.pipeline import make_source
+
+    enc, dec1, dec2, bundle = AE.init_denoiser(jax.random.key(cfg.seed),
+                                               cfg.scale, cfg.channels)
+    tx = optax.adam(1e-3)
+    opt1 = tx.init(bundle["AE1_DECODER"]["params"])
+    opt2 = tx.init(bundle["AE2_DECODER"]["params"])
+    epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg)
+    val_fn = make_denoiser_val(dec1, cfg)
+    source = source or make_source(cfg)
+    # TRAIN = images [1, 10000], VAL = [10001, 10256] (train_denoiser.lua:153-156)
+    pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
+                             min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
+    val_pool = source.epoch_pool(jax.random.key(cfg.seed + 3), 256)
+    history = []
+    n = epochs if epochs is not None else (cfg.epochs if cfg.epochs > 0 else 1)
+    for e in range(n):
+        t0 = time.perf_counter()
+        bundle, opt1, opt2, losses = epoch_fn(
+            bundle, opt1, opt2, jax.random.fold_in(jax.random.key(cfg.seed), e), pool
+        )
+        mean = np.asarray(jnp.mean(losses, axis=0))
+        vloss = float(val_fn(bundle, val_pool))
+        dt = time.perf_counter() - t0
+        if not np.isfinite(mean).all():  # exitIfNaNs (train_denoiser.lua:371-379)
+            raise FloatingPointError(f"NaN loss at epoch {e}")
+        history.append({"epoch": e + 1, "loss_ae1": float(mean[0]),
+                        "loss_ae2": float(mean[1]), "val_loss": vloss,
+                        "seconds": dt})
+        if verbose:
+            print(f"<denoiser> epoch {e+1}: AE1 {mean[0]:.5f} AE2 {mean[1]:.5f} "
+                  f"val {vloss:.5f} ({dt:.2f}s)")
+        if (e + 1) % 50 == 0 or e + 1 == n:
+            ckpt.save(cfg.save, AE.denoiser_ckpt_name(cfg.scale, cfg.channels),
+                      bundle, meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
+    return (enc, dec1, dec2), bundle, history

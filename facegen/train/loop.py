@@ -1,0 +1,217 @@
+"""Epoch driver — the functional replacement of train.lua:97-209.
+
+Per epoch (train.lua:199-208):
+  1. draw a fresh random HBM-resident pool (TRAIN_DATA equivalent);
+  2. dump visualization grids + probe report (unless --noplot);
+  3. run the compiled whole-epoch train function;
+  4. print timing ("time to learn 1 sample"), gate counters and the
+     confusion matrix (adversarial.lua:302-316), then reset them;
+  5. every save_freq epochs: checkpoint with `.old` rotation
+     (adversarial.lua:319-329).
+
+Checkpoint resume restores models/optimizer/epoch (train.lua:114-129 —
+NOTE the reference deliberately does NOT restore optimizer state, the
+line is commented out at train.lua:122; we restore everything and
+document the deviation: there is no reason to throw Adam moments away).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facegen.config import TrainConfig
+from facegen.data.pipeline import DataSource, make_source
+from facegen.models import gan
+from facegen.train import metrics as M
+from facegen.train.step import (
+    GanState,
+    init_state,
+    make_epoch_fn,
+    reset_epoch_stats,
+    steps_per_epoch,
+)
+from facegen.utils import checkpoint as ckpt
+from facegen.utils.infer import GanInference
+from facegen.utils.viz import visualize_progress
+
+CKPT_NAME = "adversarial"  # logs/adversarial.net equivalent
+
+
+def _sync(x) -> float:
+    """Reliable device barrier (block_until_ready is a no-op on the
+    remote-tunnel backend): fetch a scalar."""
+    return float(jnp.sum(x))
+
+
+class Trainer:
+    """Owns models, state, data source and the compiled epoch program."""
+
+    def __init__(self, cfg: TrainConfig, source: Optional[DataSource] = None,
+                 mesh=None, verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        self.mesh = mesh
+        self.source = source if source is not None else make_source(cfg)
+        self.g, self.d, bundle = gan.init_gan(
+            jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim,
+            reference_init=cfg.reference_init,
+        )
+        self.state = init_state(cfg, bundle)
+        self.inf = GanInference(self.g, self.d, cfg.noise_dim, cfg.compute_dtype)
+        self.denoiser = None
+        if cfg.denoise:
+            self.denoiser = self._load_denoiser()
+
+        pool_n = cfg.n_epoch if cfg.n_epoch > 0 else self.source.size
+        self.pool_n = pool_n
+        if mesh is not None:
+            from facegen.parallel import make_parallel_epoch, replicate
+
+            self.state = replicate(self.state, mesh)
+            self.epoch_fn = make_parallel_epoch(self.g, self.d, cfg, mesh,
+                                                pool_size=pool_n)
+        else:
+            self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg,
+                                                  pool_size=pool_n))
+        # fixed noise vectors for comparable per-epoch samples
+        # (train.lua:195: VIS_NOISE_INPUTS = createNoiseInputs(100))
+        self.fixed_noise = self.inf.noise(jax.random.key(cfg.seed + 999), 100)
+
+        if cfg.network:
+            self.resume(cfg.network)
+
+    # -- checkpointing ----------------------------------------------------
+    def bundle(self) -> dict:
+        return {
+            "params_g": self.state.params_g,
+            "state_g": self.state.state_g,
+            "params_d": self.state.params_d,
+            "state_d": self.state.state_d,
+        }
+
+    def save(self):
+        path = ckpt.save(
+            self.cfg.save, CKPT_NAME, self.state,
+            meta={**ckpt.config_meta(self.cfg), "epoch": int(self.state.epoch)},
+        )
+        self._log(f"<trainer> saved checkpoint to {path}")
+
+    def resume(self, network: str):
+        """network may be a checkpoint dir path or a name under cfg.save."""
+        directory, name = os.path.split(network.rstrip("/"))
+        directory = directory or self.cfg.save
+        state, meta = ckpt.load(directory, name, self.state)
+        self.state = state
+        self._log(
+            f"<trainer> reloaded previously trained network: {network} "
+            f"(epoch {int(self.state.epoch)})"
+        )
+
+    def _load_denoiser(self):
+        from facegen.models.ae import load_denoiser_fn
+
+        return load_denoiser_fn(self.cfg)
+
+    # -- training ---------------------------------------------------------
+    def train_epoch(self, epoch_idx: int) -> dict:
+        cfg = self.cfg
+        key = jax.random.fold_in(jax.random.key(cfg.seed), 10_000 + epoch_idx)
+        k_pool, k_epoch, k_viz = jax.random.split(key, 3)
+
+        self._log("Loading new training data...")
+        pool = self.source.epoch_pool(k_pool, self.pool_n)
+        if self.mesh is not None:
+            from facegen.parallel import shard_pool
+
+            pool = shard_pool(pool, self.mesh)
+
+        if not cfg.noplot:
+            out_dir = os.path.join(cfg.save, "viz")
+            report = visualize_progress(
+                self.inf, self.bundle(), self.fixed_noise, pool, out_dir,
+                k_viz, denoiser=self.denoiser, epoch=int(self.state.epoch),
+            )
+            self._log(
+                f"<viz> probe ranks/300: real={report['real_probe_rank']} "
+                f"synth={report['synth_probe_rank']}"
+            )
+
+        n_steps = steps_per_epoch(cfg, self.pool_n)
+        self._log(
+            f"<trainer> Epoch #{int(self.state.epoch)} "
+            f"[batchSize = {cfg.batch_size}]"
+        )
+        t0 = time.perf_counter()
+        self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
+        loss_d_sum = _sync(ms.loss_d)  # forces completion
+        dt = time.perf_counter() - t0
+
+        n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
+        trained = int(self.state.trained_d)
+        not_trained = int(self.state.not_trained_d)
+        conf = np.asarray(self.state.confusion)
+        total_valid = float(M.total_valid(self.state.confusion))
+        self._log(f"<trainer> time required for this epoch = {dt:.3f} s")
+        self._log(f"<trainer> time to learn 1 sample = {1000*dt/n_examples:.4f} ms")
+        self._log(f"<trainer> trained D {trained} of {trained+not_trained} times.")
+        self._log(M.format_confusion(conf))
+
+        stats = {
+            "epoch": int(self.state.epoch) - 1,
+            "seconds": dt,
+            "images_per_sec": n_examples / dt,
+            "loss_d_mean": loss_d_sum / max(len(ms.loss_d), 1),
+            "loss_g_mean": float(jnp.mean(ms.loss_g)),
+            "acc_d_mean": float(jnp.mean(ms.acc_d)),
+            "total_valid": total_valid,
+            "trained_d": trained,
+            "not_trained_d": not_trained,
+        }
+        self.state = reset_epoch_stats(self.state)
+
+        if (int(self.state.epoch) - 1) % self.cfg.save_freq == 0:
+            self.save()
+        return stats
+
+    def run(self, epochs: Optional[int] = None):
+        """The `while true` loop (train.lua:199-208); epochs=None runs
+        forever like the reference."""
+        n = epochs if epochs is not None else (
+            self.cfg.epochs if self.cfg.epochs > 0 else None
+        )
+        i = 0
+        while n is None or i < n:
+            yield self.train_epoch(i)
+            i += 1
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+
+def main(argv=None):
+    from facegen.config import train_config_from_args
+
+    cfg = train_config_from_args(argv)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from facegen.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape)
+    trainer = Trainer(cfg, mesh=mesh)
+    print(f"Number of free parameters in D: "
+          f"{sum(l.size for l in jax.tree.leaves(trainer.state.params_d))}")
+    print(f"Number of free parameters in G: "
+          f"{sum(l.size for l in jax.tree.leaves(trainer.state.params_g))}")
+    for _stats in trainer.run():
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Inference helpers: batched generation, D-scoring, ranking, sanity
+probes — the TPU equivalents of utils/nn_utils.lua.
+
+Where the reference loops Lua-side over mini-batches
+(nn_utils.lua:45-69, 90-118), we jit one fixed-batch program and fold
+the whole request into it; ranking happens with one argsort on device.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facegen.nn.core import Ctx, Module
+
+
+class GanInference:
+    """Eval-mode G/D execution (dropout off, BN running stats —
+    nn_utils.lua:207-222 switchToEvaluationMode)."""
+
+    def __init__(self, g: Module, d: Module, noise_dim: int, compute_dtype="bfloat16"):
+        self.g = g
+        self.d = d
+        self.noise_dim = noise_dim
+        self.dtype = jnp.dtype(compute_dtype)
+
+        @jax.jit
+        def _gen(params_g, state_g, noise):
+            imgs, _ = g.apply(params_g, state_g, noise.astype(self.dtype), Ctx(None, False))
+            return imgs.astype(jnp.float32)
+
+        @jax.jit
+        def _score(params_d, state_d, images):
+            logits, _ = d.apply(params_d, state_d, images.astype(self.dtype), Ctx(None, False))
+            return jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(-1)
+
+        self._gen = _gen
+        self._score = _score
+
+    # nn_utils.lua:35-39 createNoiseInputs: U(-1, 1)
+    def noise(self, key: jax.Array, n: int) -> jax.Array:
+        return jax.random.uniform(key, (n, self.noise_dim), jnp.float32, -1.0, 1.0)
+
+    # nn_utils.lua:45-78 createImages / createImagesFromNoise
+    def generate(self, bundle: dict, noise: jax.Array) -> jax.Array:
+        return self._gen(bundle["params_g"], bundle["state_g"], noise)
+
+    def generate_n(self, bundle: dict, key: jax.Array, n: int) -> jax.Array:
+        return self.generate(bundle, self.noise(key, n))
+
+    # nn_utils.lua:90-118 sortImagesByPrediction (one argsort, no CPU loop)
+    def score(self, bundle: dict, images: jax.Array) -> jax.Array:
+        return self._score(bundle["params_d"], bundle["state_d"], images)
+
+    def rank(
+        self, bundle: dict, images: jax.Array, ascending: bool = False,
+        max_out: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (images sorted by D score, scores). ascending=True
+        puts most-fake-looking first (nn_utils.lua:104-108)."""
+        scores = self.score(bundle, images)
+        order = jnp.argsort(scores if ascending else -scores)
+        if max_out is not None:
+            order = order[:max_out]
+        return images[order], scores[order]
+
+
+def sanity_image(scale: int, channels: int, key: jax.Array) -> jax.Array:
+    """The synthetic diagonal 'non-face' probe D should reject
+    (nn_utils.lua:157-169): U(0, 0.5) background, 1.0 main diagonal,
+    0.5 at every 4th grid crossing — drawn on the first channel."""
+    img = jax.random.uniform(key, (scale, scale, channels), jnp.float32, 0.0, 0.5)
+    ii = jnp.arange(scale)
+    img = img.at[ii, ii, 0].set(1.0)
+    # reference marks (i % 4 == 0 and j % 4 == 0) off-diagonal points at
+    # 0.5 (1-based Lua indices; the visual effect is a dot lattice)
+    lattice = (ii[:, None] % 4 == 0) & (ii[None, :] % 4 == 0) & (ii[:, None] != ii[None, :])
+    img = img.at[:, :, 0].set(jnp.where(lattice, 0.5, img[:, :, 0]))
+    return img
+
+
+def nearest_neighbours(
+    queries: jax.Array, dataset: jax.Array, k: int = 1, batch: int = 4096
+) -> Tuple[np.ndarray, np.ndarray]:
+    """For each query image, the k nearest dataset images by L2 distance.
+
+    Replaces sample.lua:133-151's O(Q*N) per-pair torch.dist CPU loop
+    with the |q|^2 - 2qd + |d|^2 matmul expansion on the MXU: one
+    (Q, P) x (P, N) GEMM per dataset chunk, HBM-resident.
+    Returns (indices (Q, k), distances (Q, k)).
+    """
+    q = queries.reshape(queries.shape[0], -1).astype(jnp.float32)
+    nq = q.shape[0]
+
+    @jax.jit
+    def chunk_dists(qf, df):
+        d2 = (
+            jnp.sum(qf * qf, 1, keepdims=True)
+            - 2.0 * qf @ df.T
+            + jnp.sum(df * df, 1)[None, :]
+        )
+        return jnp.maximum(d2, 0.0)
+
+    best_idx = np.zeros((nq, k), np.int64)
+    best_d = np.full((nq, k), np.inf, np.float32)
+    n = dataset.shape[0]
+    for start in range(0, n, batch):
+        block = np.asarray(dataset[start : start + batch])
+        is_u8 = block.dtype == np.uint8
+        block = block.reshape(block.shape[0], -1).astype(np.float32)
+        if is_u8:
+            block = block / 255.0
+        df = jnp.asarray(block)
+        d2 = np.asarray(chunk_dists(q, df))
+        cand_d = np.concatenate([best_d, np.sqrt(d2)], axis=1)
+        cand_i = np.concatenate(
+            [best_idx, np.broadcast_to(np.arange(start, start + df.shape[0]), d2.shape)],
+            axis=1,
+        )
+        sel = np.argsort(cand_d, axis=1)[:, :k]
+        best_d = np.take_along_axis(cand_d, sel, 1)
+        best_idx = np.take_along_axis(cand_i, sel, 1)
+    return best_idx, best_d

@@ -1,0 +1,209 @@
+"""Integration tests: checkpoint round-trip, trainer epochs, sampler
+pipeline, AE/denoiser trainers, inference utilities."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegen.config import SampleConfig, TrainConfig
+from facegen.models import gan
+from facegen.train.step import init_state
+from facegen.utils import checkpoint as ckpt
+from facegen.utils.grids import to_grid
+from facegen.utils.infer import GanInference, nearest_neighbours, sanity_image
+
+
+def tiny_cfg(tmp_path, **kw):
+    base = dict(
+        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=32,
+        compute_dtype="float32", reference_init=False, synthetic_data=True,
+        save=str(tmp_path / "logs"), save_freq=1, noplot=False, epochs=1,
+    )
+    base.update(kw)
+    return TrainConfig(**base).validate()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    g, d, bundle = gan.init_gan(jax.random.key(0), cfg.scale, cfg.channels,
+                                cfg.noise_dim, reference_init=False)
+    state = init_state(cfg, bundle)
+    path = ckpt.save(str(tmp_path), "net", state,
+                     meta={"epoch": 7, **ckpt.config_meta(cfg)})
+    assert os.path.exists(os.path.join(path, "arrays.npz"))
+    g2, d2, bundle2 = gan.init_gan(jax.random.key(99), cfg.scale, cfg.channels,
+                                   cfg.noise_dim, reference_init=False)
+    template = init_state(cfg, bundle2)
+    restored, meta = ckpt.load(str(tmp_path), "net", template)
+    assert meta["epoch"] == 7
+    assert meta["config"]["batch_size"] == cfg.batch_size
+    for a, b in zip(jax.tree.leaves(restored.params_g), jax.tree.leaves(state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_rotation(tmp_path):
+    state = {"w": jnp.ones((3,))}
+    ckpt.save(str(tmp_path), "net", state)
+    ckpt.save(str(tmp_path), "net", {"w": jnp.zeros((3,))})
+    assert os.path.exists(os.path.join(str(tmp_path), "net.old", "arrays.npz"))
+    old, _ = ckpt.load(str(tmp_path), "net.old", state)
+    np.testing.assert_array_equal(np.asarray(old["w"]), np.ones(3))
+    new, _ = ckpt.load(str(tmp_path), "net", state)
+    np.testing.assert_array_equal(np.asarray(new["w"]), np.zeros(3))
+
+
+def test_checkpoint_missing_leaf_strict(tmp_path):
+    ckpt.save(str(tmp_path), "net", {"a": jnp.ones(2)})
+    with pytest.raises(KeyError):
+        ckpt.load(str(tmp_path), "net", {"a": jnp.ones(2), "b": jnp.ones(3)})
+
+
+# ---------------------------------------------------------------------------
+# trainer loop
+# ---------------------------------------------------------------------------
+
+
+def test_trainer_epoch_and_resume(tmp_path):
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    cfg = tiny_cfg(tmp_path)
+    tr = Trainer(cfg, verbose=False)
+    stats = tr.train_epoch(0)
+    assert stats["epoch"] == 1
+    assert np.isfinite(stats["loss_d_mean"]) and np.isfinite(stats["loss_g_mean"])
+    assert stats["trained_d"] + stats["not_trained_d"] > 0
+    # save_freq=1 -> checkpoint written; viz grids dumped
+    assert ckpt.exists(cfg.save, CKPT_NAME)
+    for f in ["samples_fixed.png", "best50.png", "worst50.png", "real100.png"]:
+        assert os.path.exists(os.path.join(cfg.save, "viz", f)), f
+
+    # resume into a fresh trainer: epoch + params carried over
+    cfg2 = tiny_cfg(tmp_path, network=CKPT_NAME)
+    tr2 = Trainer(cfg2, verbose=False)
+    assert int(tr2.state.epoch) == int(tr.state.epoch)
+    for a, b in zip(jax.tree.leaves(tr2.state.params_g), jax.tree.leaves(tr.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_parallel_smoke(tmp_path):
+    from facegen.parallel import make_mesh
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, batch_size=16, noplot=True)
+    mesh = make_mesh((-1,))
+    tr = Trainer(cfg, mesh=mesh, verbose=False)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+
+
+# ---------------------------------------------------------------------------
+# inference utils
+# ---------------------------------------------------------------------------
+
+
+def test_rank_orders_by_score(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    g, d, bundle = gan.init_gan(jax.random.key(0), cfg.scale, cfg.channels,
+                                cfg.noise_dim, reference_init=False)
+    inf = GanInference(g, d, cfg.noise_dim, "float32")
+    imgs = inf.generate_n(bundle, jax.random.key(1), 32)
+    ranked, scores = inf.rank(bundle, imgs, ascending=False)
+    s = np.asarray(scores)
+    assert (np.diff(s) <= 1e-6).all()
+    ranked_a, scores_a = inf.rank(bundle, imgs, ascending=True, max_out=5)
+    assert len(scores_a) == 5
+    assert float(scores_a[0]) <= float(scores[0])
+
+
+def test_sanity_image_structure():
+    img = np.asarray(sanity_image(16, 1, jax.random.key(0)))
+    assert img.shape == (16, 16, 1)
+    np.testing.assert_allclose(np.diag(img[:, :, 0]), 1.0)
+    assert img.max() <= 1.0 and img.min() >= 0.0
+
+
+def test_nearest_neighbours_exact():
+    data = np.random.RandomState(0).rand(100, 4, 4, 1).astype(np.float32)
+    queries = jnp.asarray(data[[7, 42, 99]] + 0.001)
+    idx, dist = nearest_neighbours(queries, data, k=1, batch=32)
+    np.testing.assert_array_equal(idx[:, 0], [7, 42, 99])
+    assert (dist[:, 0] < 0.02).all()
+
+
+def test_to_grid_geometry():
+    imgs = np.zeros((5, 4, 4, 3), np.float32)
+    grid = to_grid(imgs, nrow=3, padding=1)
+    assert grid.shape == (2 * 5 + 1, 3 * 5 + 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# sampler end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_sampler_end_to_end(tmp_path):
+    from facegen.sample import run_sampling
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, noplot=True)
+    tr = Trainer(cfg, verbose=False)
+    tr.save()
+    scfg = SampleConfig(
+        save=cfg.save, scale=cfg.scale, grayscale=True, noise_dim=cfg.noise_dim,
+        writeto=str(tmp_path / "samples"), runs=1, neighbours=True, seed=2,
+    )
+    dataset = np.asarray(tr.source.epoch_pool(jax.random.key(5), 64))
+    outputs = run_sampling(scfg, dataset=dataset, verbose=False)
+    names = {os.path.basename(o) for o in outputs}
+    assert {
+        "random1024_0001_base.png", "random256_0001_base.png",
+        "best_0001_base.png", "worst_0001_base.png", "random_0001_base.png",
+        "best_0001_neighbours_base.png",
+    } <= names
+    for o in outputs:
+        assert os.path.getsize(o) > 0
+
+
+# ---------------------------------------------------------------------------
+# AE / denoiser trainers
+# ---------------------------------------------------------------------------
+
+
+def test_autoencoder_trains_and_loss_decreases(tmp_path):
+    from facegen.train.ae_loop import train_autoencoder
+
+    cfg = tiny_cfg(tmp_path, n_epoch=256, batch_size=16)
+    model, params, state, hist = train_autoencoder(cfg, epochs=3, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_denoiser_trains_and_saves_bundle_keys(tmp_path):
+    from facegen.models.ae import denoiser_ckpt_name
+    from facegen.train.ae_loop import train_denoiser
+
+    cfg = tiny_cfg(tmp_path, n_epoch=128, batch_size=16, scale=16)
+    mods, bundle, hist = train_denoiser(cfg, epochs=1, verbose=False)
+    assert set(bundle) == {"AE1_ENCODER", "AE1_DECODER", "AE2_DECODER"}
+    assert np.isfinite(hist[-1]["val_loss"])
+    assert ckpt.exists(cfg.save, denoiser_ckpt_name(16, 1))
+
+
+def test_denoise_hook_loads_ae1_decoder(tmp_path):
+    from facegen.models.ae import load_denoiser_fn
+    from facegen.train.ae_loop import train_denoiser
+
+    cfg = tiny_cfg(tmp_path, n_epoch=64, batch_size=16, scale=16)
+    train_denoiser(cfg, epochs=1, verbose=False)
+    fn = load_denoiser_fn(cfg)
+    x = jnp.ones((2, 16, 16, 1), jnp.float32) * 0.5
+    y = fn(x)
+    assert y.shape == (2, 16, 16, 1)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0

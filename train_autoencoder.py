@@ -1,0 +1,21 @@
+#!/usr/bin/env python
+"""Autoencoder trainer CLI — rebuild of `th train_autoencoder.lua`
+(flags train_autoencoder.lua:15-33; grayscale flat AE, L1 loss)."""
+
+from facegen.config import train_config_from_args
+from facegen.train.ae_loop import train_autoencoder
+
+
+def main(argv=None):
+    cfg = train_config_from_args(argv)
+    # reference AE defaults: grayscale, scale from --scale (default 32
+    # there), noiseDim 256 (train_autoencoder.lua:22, 56-57)
+    if not cfg.grayscale:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, grayscale=True)
+    train_autoencoder(cfg, epochs=cfg.epochs if cfg.epochs > 0 else None)
+
+
+if __name__ == "__main__":
+    main()
