@@ -114,6 +114,63 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class C2FConfig:
+    """Flags of `th train_c2f.lua` (train_c2f.lua:16-46). Defaults differ
+    from the base GAN: D_L1 1e-7, D_L2 0 (:29-30); adagrad lrs D 1e-3 /
+    G 3e-3 (:163-166)."""
+
+    save: str = "logs"
+    save_freq: int = 30
+    network: str = ""
+    noplot: bool = False
+    d_sgd_lr: float = 0.02
+    g_sgd_lr: float = 0.02
+    d_sgd_momentum: float = 0.0
+    g_sgd_momentum: float = 0.0
+    batch_size: int = 32
+    n_epoch: int = 1000
+    g_l1: float = 0.0
+    g_l2: float = 0.0
+    d_l1: float = 1e-7
+    d_l2: float = 0.0
+    d_iterations: int = 1
+    g_iterations: int = 1
+    d_clamp: float = 1.0
+    g_clamp: float = 5.0
+    d_optmethod: str = "adam"
+    g_optmethod: str = "adam"
+    threads: int = 4
+    noise_dim: int = 100   # kept for CLI parity; c2f noise is image-shaped
+    window: int = 3
+    coarse_size: int = 16
+    fine_size: int = 32
+    grayscale: bool = False
+    seed: int = 1
+    aws: bool = False
+    # TPU additions
+    compute_dtype: str = "bfloat16"
+    reference_g_penalty_bug: bool = True
+    dataset_dir: Optional[str] = None
+    synthetic_data: bool = False
+    epochs: int = -1
+    val_size: int = 500    # VAL_DATA = loadImages(0, 500) (train_c2f.lua:218)
+    parzen_samples: int = 200
+
+    @property
+    def channels(self) -> int:
+        return 1 if self.grayscale else 3
+
+    @property
+    def img_shape(self) -> Tuple[int, int, int]:
+        return (self.fine_size, self.fine_size, self.channels)
+
+    def validate(self) -> "C2FConfig":
+        if self.batch_size % 2 != 0 or self.batch_size < 4:
+            raise ValueError("batch size must be even and >= 4")
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
 class SampleConfig:
     """Flags of `th sample.lua` (sample.lua:9-24)."""
 

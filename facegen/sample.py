@@ -100,6 +100,46 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
     return outputs
 
 
+def refine_c2f(
+    c2f_cfg,
+    bundle: dict,
+    images: jax.Array,
+    key: jax.Array,
+    tries: int = 10,
+):
+    """Coarse-to-fine refinement of coarse images (sample.lua:176-214's
+    deprecated c2f(): upscale to fineSize, generate `tries` candidate
+    diffs per image, keep the one D scores highest, add it on).
+
+    images: (N, coarse, coarse, C) floats in [0,1].
+    Returns (N, fine, fine, C) refined images.
+    """
+    from facegen.models import c2f as c2f_models
+    from facegen.nn.core import Ctx
+
+    g = c2f_models.create_g(c2f_cfg.fine_size, c2f_cfg.channels)
+    d = c2f_models.create_d(c2f_cfg.fine_size, c2f_cfg.channels)
+    fs, c = c2f_cfg.fine_size, c2f_cfg.channels
+    n = images.shape[0]
+
+    @jax.jit
+    def _refine(params_g, state_g, params_d, state_d, imgs, k):
+        coarse = jax.image.resize(imgs.astype(jnp.float32), (n, fs, fs, c), "linear")
+        z = jax.random.uniform(k, (n, tries, fs, fs, 1), jnp.float32, -1.0, 1.0)
+        cond = jnp.broadcast_to(coarse[:, None], (n, tries, fs, fs, c))
+        z_f = z.reshape(n * tries, fs, fs, 1)
+        cond_f = cond.reshape(n * tries, fs, fs, c)
+        diff, _ = g.apply(params_g, state_g, (z_f, cond_f), Ctx(None, False))
+        logits, _ = d.apply(params_d, state_d, (diff, cond_f), Ctx(None, False))
+        scores = logits.reshape(n, tries)
+        best = jnp.argmax(scores, axis=1)  # max D score (sample.lua:198-206)
+        diff_best = diff.reshape(n, tries, fs, fs, c)[jnp.arange(n), best]
+        return jnp.clip(coarse + diff_best, 0.0, 1.0)
+
+    return _refine(bundle["params_g"], bundle["state_g"],
+                   bundle["params_d"], bundle["state_d"], images, key)
+
+
 def _load_dataset(cfg: SampleConfig):
     """Training images at sampler scale for the NN search
     (sample.lua:135 loads the ENTIRE training set)."""

@@ -1,0 +1,322 @@
+"""Coarse-to-fine refinement GAN training engine + loop.
+
+Rebuild of adversarial_c2f.lua and the train_c2f.lua driver. Differences
+from the base engine (train/step.py), mirroring the reference:
+
+- D consumes (diff, coarse) pairs; its first op sums them back into a
+  reconstructed fine image (models/c2f.py add_pair).
+- G consumes (image-shaped noise, coarse) and emits a signed diff.
+- The D-batch's fake half uses FRESH random coarse conditions, not the
+  real half's (adversarial_c2f.lua:136-142).
+- STOCK optimizers, no accuracy gate (adversarial_c2f.lua:154-163).
+- approxParzen eval (adversarial_c2f.lua:305-344): for each of nsamples
+  validation images, generate nneighbors refinements of its coarse and
+  take the min L2 distance to the true fine; mean drives the `.bestnet`
+  checkpoint. Here it is one batched jit (G over nsamples*nneighbors at
+  once) instead of a 200-iteration Lua loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facegen.config import C2FConfig
+from facegen.data.c2f import C2FPool, gather_triple, make_triples
+from facegen.models import c2f as c2f_models
+from facegen.nn.core import Ctx, Module
+from facegen.train import losses, metrics as M
+from facegen.utils import checkpoint as ckpt
+
+
+class C2FState(NamedTuple):
+    params_g: Any
+    state_g: Any
+    params_d: Any
+    state_d: Any
+    opt_g: Any
+    opt_d: Any
+    confusion: jax.Array
+    epoch: jax.Array
+
+
+class C2FStepMetrics(NamedTuple):
+    loss_d: jax.Array
+    loss_g: jax.Array
+    acc_d: jax.Array
+
+
+def _make_tx(method: str, cfg: C2FConfig, which: str):
+    if method == "adam":
+        return optax.adam(1e-3)
+    if method == "adagrad":
+        # train_c2f.lua:163-166: adagrad lr D 1e-3, G 3e-3
+        lr = 1e-3 if which == "D" else 3e-3
+        return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    if method == "sgd":
+        lr = cfg.d_sgd_lr if which == "D" else cfg.g_sgd_lr
+        mom = cfg.d_sgd_momentum if which == "D" else cfg.g_sgd_momentum
+        return optax.sgd(lr, momentum=mom if mom > 0 else None)
+    raise ValueError(method)
+
+
+def init_c2f_state(cfg: C2FConfig, bundle: dict) -> C2FState:
+    tx_d = _make_tx(cfg.d_optmethod, cfg, "D")
+    tx_g = _make_tx(cfg.g_optmethod, cfg, "G")
+    return C2FState(
+        params_g=bundle["params_g"],
+        state_g=bundle["state_g"],
+        params_d=bundle["params_d"],
+        state_d=bundle["state_d"],
+        opt_g=tx_g.init(bundle["params_g"]),
+        opt_d=tx_d.init(bundle["params_d"]),
+        confusion=M.empty_confusion(),
+        epoch=jnp.int32(1),
+    )
+
+
+def steps_per_epoch(cfg: C2FConfig, pool_size: Optional[int] = None) -> int:
+    n = cfg.n_epoch if cfg.n_epoch > 0 else (pool_size or 0)
+    half = cfg.batch_size // 2
+    count, t = 0, 1
+    while t <= n:
+        if min(cfg.batch_size, n - t + 1) >= 4:
+            count += 1
+        t += half
+    return max(count, 1)
+
+
+def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
+                  pool_size: Optional[int] = None):
+    tx_d = _make_tx(cfg.d_optmethod, cfg, "D")
+    tx_g = _make_tx(cfg.g_optmethod, cfg, "G")
+    bs = cfg.batch_size
+    half = bs // 2
+    dtype = jnp.dtype(cfg.compute_dtype)
+    fs, c = cfg.fine_size, cfg.channels
+    n_steps = steps_per_epoch(cfg, pool_size)
+
+    def noise(key, n):
+        return jax.random.uniform(key, (n, fs, fs, 1), dtype, -1.0, 1.0)
+
+    def d_iteration(state: C2FState, rng, pool: C2FPool):
+        k_real, k_fakecond, k_noise, k_gen, k_drop = jax.random.split(rng, 5)
+        idx_real = jax.random.randint(k_real, (half,), 0, pool.size)
+        _, cond_real, diff_real = gather_triple(pool, idx_real, dtype)
+        # fake half: fresh random coarse conditions (adversarial_c2f.lua:136-142)
+        idx_fake = jax.random.randint(k_fakecond, (half,), 0, pool.size)
+        _, cond_fake, _ = gather_triple(pool, idx_fake, dtype)
+        z = noise(k_noise, half)
+        diff_fake, state_g = g.apply(state.params_g, state.state_g,
+                                     (z, cond_fake), Ctx(k_gen, True))
+        diff_fake = jax.lax.stop_gradient(diff_fake)
+
+        diffs = jnp.concatenate([diff_real, diff_fake], axis=0)
+        conds = jnp.concatenate([cond_real, cond_fake], axis=0)
+        targets = jnp.concatenate(
+            [jnp.ones((half,), jnp.float32), jnp.zeros((half,), jnp.float32)]
+        )
+
+        def loss_fn(params_d):
+            logits, sd = d.apply(params_d, state.state_d, (diffs, conds),
+                                 Ctx(k_drop, True))
+            return losses.bce_with_logits(logits, targets), (logits, sd)
+
+        (loss, (logits, state_d)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_d)
+        loss = loss + losses.penalty_loss(state.params_d, cfg.d_l1, cfg.d_l2)
+        grads = losses.add_penalty_grads(grads, state.params_d, cfg.d_l1, cfg.d_l2)
+        grads = losses.clamp_grads(grads, cfg.d_clamp)
+        updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+        acc = losses.batch_accuracy(logits, targets)
+        conf = M.update_confusion(state.confusion, logits, targets)
+        return state._replace(
+            params_d=params_d, opt_d=opt_d, state_g=state_g, state_d=state_d,
+            confusion=conf,
+        ), loss, acc
+
+    def g_iteration(state: C2FState, rng, pool: C2FPool):
+        k_cond, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
+        idx = jax.random.randint(k_cond, (bs,), 0, pool.size)
+        _, conds, _ = gather_triple(pool, idx, dtype)
+        z = noise(k_noise, bs)
+        targets = jnp.ones((bs,), jnp.float32)
+
+        def loss_fn(params_g):
+            diff, sg = g.apply(params_g, state.state_g, (z, conds), Ctx(k_gen, True))
+            logits, sd = d.apply(state.params_d, state.state_d, (diff, conds),
+                                 Ctx(k_drop, True))
+            return losses.bce_with_logits(logits, targets), (sg, sd)
+
+        (loss, (state_g, state_d)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_g)
+        loss = loss + losses.penalty_loss(state.params_g, cfg.g_l1, cfg.g_l2)
+        sign_coef = cfg.g_l2 if cfg.reference_g_penalty_bug else cfg.g_l1
+        grads = losses.add_penalty_grads(grads, state.params_g, sign_coef, cfg.g_l2)
+        grads = losses.clamp_grads(grads, cfg.g_clamp)
+        updates, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+        return state._replace(params_g=params_g, opt_g=opt_g,
+                              state_g=state_g, state_d=state_d), loss
+
+    def step(state, rng, pool):
+        loss_d = jnp.float32(0.0)
+        acc = jnp.float32(0.0)
+        for k in range(cfg.d_iterations):
+            state, loss_d, acc = d_iteration(state, jax.random.fold_in(rng, k), pool)
+        loss_g = jnp.float32(0.0)
+        for k in range(cfg.g_iterations):
+            state, loss_g = g_iteration(state, jax.random.fold_in(rng, 1000 + k), pool)
+        return state, C2FStepMetrics(loss_d, loss_g, acc)
+
+    def epoch(state: C2FState, rng, pool: C2FPool):
+        def body(carry, i):
+            new_state, m = step(carry, jax.random.fold_in(rng, i), pool)
+            return new_state, m
+
+        state, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state._replace(epoch=state.epoch + 1), ms
+
+    return epoch
+
+
+def make_parzen_fn(g: Module, cfg: C2FConfig, nneighbors: int):
+    """Batched approxParzen: (bundle-ish state, rng, val_pool) ->
+    per-sample min distances (adversarial_c2f.lua:305-329)."""
+    ns = cfg.parzen_samples
+    dtype = jnp.dtype(cfg.compute_dtype)
+    fs, c = cfg.fine_size, cfg.channels
+
+    @jax.jit
+    def parzen(params_g, state_g, rng, pool: C2FPool):
+        k_pick, k_noise = jax.random.split(rng)
+        idx = jax.random.randint(k_pick, (ns,), 0, pool.size)
+        fine, coarse, _ = gather_triple(pool, idx, jnp.float32)
+        z = jax.random.uniform(k_noise, (ns, nneighbors, fs, fs, 1), dtype, -1.0, 1.0)
+        cond = jnp.broadcast_to(coarse[:, None].astype(dtype),
+                                (ns, nneighbors, fs, fs, c))
+        z_flat = z.reshape(ns * nneighbors, fs, fs, 1)
+        cond_flat = cond.reshape(ns * nneighbors, fs, fs, c)
+        diff, _ = g.apply(params_g, state_g, (z_flat, cond_flat), Ctx(None, False))
+        refined = diff.astype(jnp.float32) + cond_flat.astype(jnp.float32)
+        refined = refined.reshape(ns, nneighbors, -1)
+        target = fine.reshape(ns, 1, -1)
+        dists = jnp.sqrt(jnp.sum((refined - target) ** 2, axis=-1))
+        return jnp.min(dists, axis=1)  # (ns,)
+
+    return parzen
+
+
+def ckpt_name(cfg: C2FConfig, best: bool = False) -> str:
+    """adversarial_c2f_{coarse}_to_{fine}[.bestnet] (adversarial_c2f.lua:209,336)."""
+    base = f"adversarial_c2f_{cfg.coarse_size}_to_{cfg.fine_size}"
+    return base + ("_best" if best else "")
+
+
+class C2FTrainer:
+    """train_c2f.lua driver: epoch loop + approxParzen + best checkpoint."""
+
+    def __init__(self, cfg: C2FConfig, source=None, verbose: bool = True):
+        from facegen.data.pipeline import DataSource, make_source
+
+        self.cfg = cfg
+        self.verbose = verbose
+        if source is None:
+            # dedicated source at fine_size; first val_size images held out
+            from facegen.config import TrainConfig
+
+            tcfg = TrainConfig(
+                scale=cfg.fine_size, grayscale=cfg.grayscale,
+                synthetic_data=cfg.synthetic_data, dataset_dir=cfg.dataset_dir,
+                aws=cfg.aws,
+            )
+            source = make_source(tcfg, holdout=cfg.val_size)
+        self.source = source
+        self.g, self.d, bundle = c2f_models.init_c2f(
+            jax.random.key(cfg.seed), cfg.fine_size, cfg.channels
+        )
+        self.state = init_c2f_state(cfg, bundle)
+        pool_n = cfg.n_epoch if cfg.n_epoch > 0 else source.size
+        self.pool_n = pool_n
+        self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg, pool_n))
+        self.parzen_fn = make_parzen_fn(self.g, cfg, cfg.batch_size)
+        self.best_dist = float("inf")
+        # VAL_DATA = first 500 images (train_c2f.lua:218); train draws
+        # skip them via the source holdout (startAt=500, :223)
+        val_fine = source.range_pool(0, cfg.val_size, jax.random.key(cfg.seed + 7))
+        self.val_pool = make_triples(val_fine, cfg.coarse_size)
+        if cfg.network:
+            self.resume(cfg.network)
+
+    def resume(self, network: str):
+        directory, name = os.path.split(network.rstrip("/"))
+        directory = directory or self.cfg.save
+        # c2f resume restores OPTSTATE too (train_c2f.lua:109-116)
+        self.state, meta = ckpt.load(directory, name, self.state)
+        self._log(f"<trainer> reloaded previously trained network: {network}")
+
+    def train_epoch(self, epoch_idx: int) -> dict:
+        cfg = self.cfg
+        key = jax.random.fold_in(jax.random.key(cfg.seed), 20_000 + epoch_idx)
+        k_pool, k_epoch, k_parzen = jax.random.split(key, 3)
+        self._log("Loading new training data...")
+        fine = self.source.epoch_pool(k_pool, self.pool_n)
+        pool = make_triples(fine, cfg.coarse_size)
+
+        t0 = time.perf_counter()
+        self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
+        loss_d_sum = float(jnp.sum(ms.loss_d))
+        dt = time.perf_counter() - t0
+        n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
+        self._log(f"<trainer> time required for this epoch = {dt:.3f} s")
+        self._log(f"<trainer> time to learn 1 sample = {1000*dt/n_examples:.4f} ms")
+        self._log(M.format_confusion(np.asarray(self.state.confusion)))
+
+        # approxParzen on validation (train_c2f.lua:235)
+        dists = np.asarray(self.parzen_fn(self.state.params_g, self.state.state_g,
+                                          k_parzen, self.val_pool))
+        mean_dist = float(dists.mean())
+        self._log(
+            f"average || x_{cfg.fine_size} - G(x_{cfg.coarse_size}) || = {mean_dist:.5f}"
+        )
+        if mean_dist < self.best_dist:
+            self.best_dist = mean_dist
+            ckpt.save(cfg.save, ckpt_name(cfg, best=True), self.state,
+                      meta={"epoch": int(self.state.epoch),
+                            "parzen": mean_dist, **ckpt.config_meta(cfg)})
+            self._log("<trainer> saving best network")
+
+        stats = {
+            "epoch": int(self.state.epoch) - 1,
+            "seconds": dt,
+            "loss_d_mean": loss_d_sum / max(len(ms.loss_d), 1),
+            "loss_g_mean": float(jnp.mean(ms.loss_g)),
+            "acc_d_mean": float(jnp.mean(ms.acc_d)),
+            "parzen": mean_dist,
+        }
+        self.state = self.state._replace(confusion=M.empty_confusion())
+        if (int(self.state.epoch) - 1) % cfg.save_freq == 0:
+            ckpt.save(cfg.save, ckpt_name(cfg), self.state,
+                      meta={"epoch": int(self.state.epoch), **ckpt.config_meta(cfg)})
+        return stats
+
+    def run(self, epochs: Optional[int] = None):
+        n = epochs if epochs is not None else (
+            self.cfg.epochs if self.cfg.epochs > 0 else None
+        )
+        i = 0
+        while n is None or i < n:
+            yield self.train_epoch(i)
+            i += 1
+
+    def _log(self, msg):
+        if self.verbose:
+            print(msg, flush=True)

@@ -1,0 +1,125 @@
+"""Coarse-to-fine path tests: triple construction, conditional models,
+training engine, approxParzen, best-checkpoint selection, refinement."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegen.config import C2FConfig
+from facegen.data.c2f import gather_triple, make_triples
+from facegen.models import c2f as c2f_models
+from facegen.nn.core import Ctx
+
+
+def tiny_cfg(tmp_path=None, **kw):
+    base = dict(
+        batch_size=8, coarse_size=8, fine_size=16, grayscale=True,
+        n_epoch=32, compute_dtype="float32", synthetic_data=True,
+        seed=3, save_freq=1, epochs=1, val_size=16, parzen_samples=8,
+    )
+    if tmp_path is not None:
+        base["save"] = str(tmp_path / "logs")
+    base.update(kw)
+    return C2FConfig(**base).validate()
+
+
+def test_make_triples_reconstruction():
+    fine = jax.random.randint(jax.random.key(0), (4, 16, 16, 3), 0, 256, jnp.uint8)
+    pool = make_triples(fine, 8)
+    assert pool.fine.shape == (4, 16, 16, 3)
+    assert pool.coarse.shape == (4, 16, 16, 3)
+    f, c, d = gather_triple(pool, jnp.arange(4))
+    np.testing.assert_allclose(np.asarray(f - c), np.asarray(d), atol=1e-6)
+    # coarse is a blurred version: less high-frequency energy
+    def hf_energy(x):
+        return float(jnp.abs(jnp.diff(x, axis=1)).mean())
+    assert hf_energy(c) < hf_energy(f) + 1e-6
+
+
+def test_c2f_g_shapes_and_signed_output():
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), 16, 1)
+    z = jax.random.uniform(jax.random.key(1), (4, 16, 16, 1), minval=-1, maxval=1)
+    cond = jax.random.uniform(jax.random.key(2), (4, 16, 16, 1))
+    diff, _ = g.apply(bundle["params_g"], bundle["state_g"], (z, cond),
+                      Ctx(jax.random.key(3), False))
+    assert diff.shape == (4, 16, 16, 1)
+    # no sigmoid on the diff: signed values possible
+    assert float(diff.min()) < 0 or float(diff.max()) > 0
+
+
+def test_c2f_d_adds_diff_and_coarse():
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), 16, 1)
+    diff = jnp.full((2, 16, 16, 1), 0.25)
+    cond = jnp.full((2, 16, 16, 1), 0.5)
+    # D(diff, cond) must equal D(diff + delta, cond - delta): only the sum enters
+    delta = jnp.full((2, 16, 16, 1), 0.1)
+    ctx = Ctx(jax.random.key(1), False)
+    y1, _ = d.apply(bundle["params_d"], bundle["state_d"], (diff, cond), ctx)
+    y2, _ = d.apply(bundle["params_d"], bundle["state_d"], (diff + delta, cond - delta), ctx)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_c2f_epoch_runs_and_trains(tmp_path):
+    from facegen.train.c2f import C2FTrainer
+
+    cfg = tiny_cfg(tmp_path)
+    tr = C2FTrainer(cfg, verbose=False)
+    before = jax.tree.leaves(tr.state.params_g)
+    stats = tr.train_epoch(0)
+    after = jax.tree.leaves(tr.state.params_g)
+    assert np.isfinite(stats["loss_d_mean"]) and np.isfinite(stats["loss_g_mean"])
+    assert np.isfinite(stats["parzen"]) and stats["parzen"] > 0
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(before, after))
+
+
+def test_c2f_bestnet_checkpoint(tmp_path):
+    from facegen.train.c2f import C2FTrainer, ckpt_name
+    from facegen.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg(tmp_path)
+    tr = C2FTrainer(cfg, verbose=False)
+    tr.train_epoch(0)
+    # first epoch always improves on inf -> bestnet saved
+    assert ckpt.exists(cfg.save, ckpt_name(cfg, best=True))
+    assert ckpt.exists(cfg.save, ckpt_name(cfg))
+
+
+def test_c2f_resume(tmp_path):
+    from facegen.train.c2f import C2FTrainer, ckpt_name
+
+    cfg = tiny_cfg(tmp_path)
+    tr = C2FTrainer(cfg, verbose=False)
+    tr.train_epoch(0)
+    cfg2 = tiny_cfg(tmp_path, network=ckpt_name(cfg))
+    tr2 = C2FTrainer(cfg2, verbose=False)
+    assert int(tr2.state.epoch) == int(tr.state.epoch)
+    # c2f resume restores optimizer state too (train_c2f.lua:114)
+    for a, b in zip(jax.tree.leaves(tr2.state.opt_g), jax.tree.leaves(tr.state.opt_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_parzen_distances_reasonable():
+    from facegen.train.c2f import init_c2f_state, make_parzen_fn
+
+    cfg = tiny_cfg()
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size, 1)
+    parzen = make_parzen_fn(g, cfg, nneighbors=4)
+    fine = jax.random.randint(jax.random.key(1), (16, 16, 16, 1), 0, 256, jnp.uint8)
+    pool = make_triples(fine, cfg.coarse_size)
+    dists = parzen(bundle["params_g"], bundle["state_g"], jax.random.key(2), pool)
+    assert dists.shape == (cfg.parzen_samples,)
+    assert bool(jnp.isfinite(dists).all()) and float(dists.min()) >= 0
+
+
+def test_refine_c2f_shapes():
+    from facegen.sample import refine_c2f
+
+    cfg = tiny_cfg()
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size, 1)
+    coarse_imgs = jax.random.uniform(jax.random.key(1), (3, 8, 8, 1))
+    out = refine_c2f(cfg, bundle, coarse_imgs, jax.random.key(2), tries=4)
+    assert out.shape == (3, 16, 16, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
