@@ -60,12 +60,10 @@ def create_g(scale: int, channels: int, noise_dim: int) -> Module:
         L.dense(128 * s0 * s0, w_std=_heur_dense(noise_dim), name="fc"),
         L.reshape((s0, s0, 128)),
         L.prelu(),
-        L.upsample_nearest(2),
-        L.conv2d(256, 5, w_std=_heur_conv(128, 5), name="conv1"),
+        L.upsample_conv(256, 5, 2, w_std=_heur_conv(128, 5), name="upconv1"),
         L.batch_norm(),
         L.prelu(),
-        L.upsample_nearest(2),
-        L.conv2d(128, 5, w_std=_heur_conv(256, 5), name="conv2"),
+        L.upsample_conv(128, 5, 2, w_std=_heur_conv(256, 5), name="upconv2"),
         L.batch_norm(),
         L.prelu(),
         L.conv2d(channels, 3, w_std=_heur_conv(128, 3), name="conv_out"),

@@ -79,7 +79,7 @@ def test_params_stay_replicated_across_devices(mesh):
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
     # BN running stats replicated too (pmean sync)
-    bn = new_state.state_g["05_batch_norm"]["mean"]
+    bn = new_state.state_g["04_batch_norm"]["mean"]
     shards = [np.asarray(s.data) for s in bn.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
