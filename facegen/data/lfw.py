@@ -74,8 +74,6 @@ def build_dataset(
     its C decoder) — the analogue of the reference's single-threaded
     Python 2 loop (generate_dataset.py:41), minus the 20x disk blow-up.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     paths = scan_image_paths([lfw_dir])
     if limit:
         paths = paths[:limit]
@@ -87,11 +85,25 @@ def build_dataset(
         out_path, mode="w+", dtype=np.uint8, shape=(n, SCALE, SCALE, 3)
     )
 
-    def work(i):
-        arr[i] = load_and_crop(paths[i], crop=crop)
+    jpeg_like = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+    from facegen import native
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(work, range(n)))
+    if jpeg_like and native.available():
+        # native path: threaded libjpeg decode + crop + bilinear resize
+        crop_box = (CROP_Y0, CROP_Y1, CROP_X0, CROP_X1) if crop else (0, 1 << 30, 0, 1 << 30)
+        chunk = 2048
+        for s in range(0, n, chunk):
+            arr[s : s + chunk] = native.decode_crop_resize_batch(
+                paths[s : s + chunk], SCALE, crop_box, workers
+            )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(i):
+            arr[i] = load_and_crop(paths[i], crop=crop)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(work, range(n)))
     arr.flush()
     return out_path
 

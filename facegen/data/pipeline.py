@@ -89,7 +89,9 @@ class DataSource:
                 jax.random.randint(key, (n,), self.holdout, self.store.shape[0])
             )
         )  # sorted for sequential-ish memmap reads
-        block = np.ascontiguousarray(self.store[idx])
+        from facegen import native
+
+        block = native.gather_rows(np.asarray(self.store), idx)
         return jax.device_put(block)
 
     def epoch_pool(self, key: jax.Array, n: int) -> jax.Array:
@@ -109,6 +111,42 @@ class DataSource:
                 np.ascontiguousarray(self.store[start : start + count])
             )
         return prepare_pool(raw, key, self.scale, self.channels, augment=False)
+
+
+class Prefetcher:
+    """Double-buffer the epoch pool: while epoch N trains on device, the
+    host thread gathers + uploads epoch N+1's pool. The reference
+    reloads and re-decodes JPEGs synchronously between epochs
+    (train.lua:199-207); here pool preparation overlaps training.
+    """
+
+    def __init__(self, source: DataSource, n: int):
+        import threading
+
+        self.source = source
+        self.n = n
+        self._threading = threading
+        self._thread = None
+        self._result = None
+
+    def _work(self, key):
+        self._result = self.source.epoch_pool(key, self.n)
+
+    def schedule(self, key) -> None:
+        assert self._thread is None, "previous prefetch not consumed"
+        self._thread = self._threading.Thread(target=self._work, args=(key,),
+                                              daemon=True)
+        self._thread.start()
+
+    def get(self, key=None):
+        """Join the pending prefetch, or fetch synchronously if none."""
+        if self._thread is None:
+            if key is None:
+                raise ValueError("no prefetch scheduled and no key given")
+            return self.source.epoch_pool(key, self.n)
+        self._thread.join()
+        out, self._thread, self._result = self._result, None, None
+        return out
 
 
 def make_source(cfg, holdout: int = 0) -> DataSource:

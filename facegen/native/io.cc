@@ -14,8 +14,10 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -92,30 +94,88 @@ int decode_rgb(const unsigned char* data, int64_t size, std::vector<unsigned cha
   return 0;
 }
 
-// Bilinear resize RGB u8 (src h x w) -> (dst oh x ow).
+// Separable triangle-filter (antialiased bilinear) resize, matching
+// PIL's BILINEAR resampling — the resizer generate_dataset.py:62 uses
+// through scipy.misc.imresize. For downscaling the filter support
+// widens by the scale factor (proper antialiasing); for upscaling it
+// degenerates to classic bilinear.
+struct FilterWeights {
+  std::vector<int> xmin, xsize;
+  std::vector<float> weights;  // flattened, max_size per output pixel
+  int max_size = 0;
+};
+
+FilterWeights triangle_weights(int in_size, int out_size) {
+  FilterWeights fw;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // BILINEAR support = 1
+  fw.max_size = static_cast<int>(std::ceil(support) * 2 + 1);
+  fw.xmin.resize(out_size);
+  fw.xsize.resize(out_size);
+  fw.weights.assign(static_cast<size_t>(out_size) * fw.max_size, 0.f);
+  for (int x = 0; x < out_size; ++x) {
+    double center = (x + 0.5) * scale;
+    int lo = std::max(0, static_cast<int>(center - support + 0.5));
+    int hi = std::min(in_size, static_cast<int>(center + support + 0.5));
+    double total = 0.0;
+    std::vector<double> wv(hi - lo);
+    for (int k = lo; k < hi; ++k) {
+      double t = std::abs((k + 0.5 - center) / filterscale);
+      double v = t < 1.0 ? 1.0 - t : 0.0;
+      wv[k - lo] = v;
+      total += v;
+    }
+    fw.xmin[x] = lo;
+    fw.xsize[x] = hi - lo;
+    for (int k = 0; k < hi - lo; ++k) {
+      fw.weights[static_cast<size_t>(x) * fw.max_size + k] =
+          total > 0 ? static_cast<float>(wv[k] / total) : 0.f;
+    }
+  }
+  return fw;
+}
+
 void resize_bilinear(const unsigned char* src, int h, int w, unsigned char* dst, int oh,
                      int ow) {
-  const float sy = oh > 1 ? static_cast<float>(h - 1) / (oh - 1) : 0.f;
-  const float sx = ow > 1 ? static_cast<float>(w - 1) / (ow - 1) : 0.f;
-  for (int y = 0; y < oh; ++y) {
-    float fy = y * sy;
-    int y0 = static_cast<int>(fy);
-    int y1 = std::min(y0 + 1, h - 1);
-    float wy = fy - y0;
+  FilterWeights fh = triangle_weights(w, ow);
+  FilterWeights fv = triangle_weights(h, oh);
+  // horizontal pass -> float intermediate (h x ow x 3)
+  std::vector<float> tmp(static_cast<size_t>(h) * ow * 3);
+  for (int y = 0; y < h; ++y) {
+    const unsigned char* row = src + static_cast<size_t>(y) * w * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
-      float fx = x * sx;
-      int x0 = static_cast<int>(fx);
-      int x1 = std::min(x0 + 1, w - 1);
-      float wx = fx - x0;
+      const float* wts = fh.weights.data() + static_cast<size_t>(x) * fh.max_size;
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int k = 0; k < fh.xsize[x]; ++k) {
+        const unsigned char* px = row + (static_cast<size_t>(fh.xmin[x]) + k) * 3;
+        acc[0] += wts[k] * px[0];
+        acc[1] += wts[k] * px[1];
+        acc[2] += wts[k] * px[2];
+      }
+      trow[x * 3 + 0] = acc[0];
+      trow[x * 3 + 1] = acc[1];
+      trow[x * 3 + 2] = acc[2];
+    }
+  }
+  // vertical pass -> u8 out
+  for (int y = 0; y < oh; ++y) {
+    const float* wts = fv.weights.data() + static_cast<size_t>(y) * fv.max_size;
+    unsigned char* drow = dst + static_cast<size_t>(y) * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int k = 0; k < fv.xsize[y]; ++k) {
+        const float* px =
+            tmp.data() + ((static_cast<size_t>(fv.xmin[y]) + k) * ow + x) * 3;
+        acc[0] += wts[k] * px[0];
+        acc[1] += wts[k] * px[1];
+        acc[2] += wts[k] * px[2];
+      }
       for (int c = 0; c < 3; ++c) {
-        float v00 = src[(static_cast<size_t>(y0) * w + x0) * 3 + c];
-        float v01 = src[(static_cast<size_t>(y0) * w + x1) * 3 + c];
-        float v10 = src[(static_cast<size_t>(y1) * w + x0) * 3 + c];
-        float v11 = src[(static_cast<size_t>(y1) * w + x1) * 3 + c];
-        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                  v10 * wy * (1 - wx) + v11 * wy * wx;
-        dst[(static_cast<size_t>(y) * ow + x) * 3 + c] =
-            static_cast<unsigned char>(v + 0.5f);
+        float v = acc[c] + 0.5f;
+        drow[x * 3 + c] =
+            static_cast<unsigned char>(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
       }
     }
   }

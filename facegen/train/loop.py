@@ -82,6 +82,9 @@ class Trainer:
         # fixed noise vectors for comparable per-epoch samples
         # (train.lua:195: VIS_NOISE_INPUTS = createNoiseInputs(100))
         self.fixed_noise = self.inf.noise(jax.random.key(cfg.seed + 999), 100)
+        from facegen.data.pipeline import Prefetcher
+
+        self.prefetcher = Prefetcher(self.source, self.pool_n)
 
         if cfg.network:
             self.resume(cfg.network)
@@ -125,7 +128,10 @@ class Trainer:
         k_pool, k_epoch, k_viz = jax.random.split(key, 3)
 
         self._log("Loading new training data...")
-        pool = self.source.epoch_pool(k_pool, self.pool_n)
+        pool = self.prefetcher.get(k_pool)
+        # overlap the NEXT epoch's pool build with this epoch's training
+        next_key = jax.random.fold_in(jax.random.key(cfg.seed), 10_001 + epoch_idx)
+        self.prefetcher.schedule(jax.random.split(next_key, 3)[0])
         if self.mesh is not None:
             from facegen.parallel import shard_pool
 
