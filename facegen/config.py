@@ -63,6 +63,11 @@ class TrainConfig:
     synthetic_data: bool = False          # procedural faces when no LFW on disk
     epochs: int = -1                      # stop after N epochs (-1 = run forever,
                                           # like the reference's `while true`)
+    guard_nonfinite: bool = False         # skip any update whose gradients are
+                                          # non-finite (optax.apply_if_finite-
+                                          # style; off by default for parity)
+    trace_dir: Optional[str] = None       # jax.profiler trace of epoch 1
+    debug_nans: bool = False              # jax_debug_nans mode
 
     # ------------------------------------------------------------------
     @property

@@ -86,6 +86,12 @@ class Trainer:
 
         self.prefetcher = Prefetcher(self.source, self.pool_n)
 
+        from facegen.utils.profiling import MetricsLogger, enable_nan_debugging
+
+        self.metrics_log = MetricsLogger(cfg.save)
+        if cfg.debug_nans:
+            enable_nan_debugging(True)
+
         if cfg.network:
             self.resume(cfg.network)
 
@@ -154,8 +160,16 @@ class Trainer:
             f"[batchSize = {cfg.batch_size}]"
         )
         t0 = time.perf_counter()
-        self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
-        loss_d_sum = _sync(ms.loss_d)  # forces completion
+        if cfg.trace_dir and epoch_idx == 1:
+            # trace the second epoch (first is compile)
+            from facegen.utils.profiling import trace
+
+            with trace(cfg.trace_dir):
+                self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
+                loss_d_sum = _sync(ms.loss_d)
+        else:
+            self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
+            loss_d_sum = _sync(ms.loss_d)  # forces completion
         dt = time.perf_counter() - t0
 
         n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
@@ -180,6 +194,7 @@ class Trainer:
             "not_trained_d": not_trained,
         }
         self.state = reset_epoch_stats(self.state)
+        self.metrics_log.log(stats)
 
         if (int(self.state.epoch) - 1) % self.cfg.save_freq == 0:
             self.save()

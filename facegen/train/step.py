@@ -183,6 +183,11 @@ def make_train_step(
         count = jnp.minimum(accs_n, k_ring).astype(jnp.float32)
         acc_avg = jnp.sum(accs) / count
         do_train = acc_avg < cfg.d_max_acc
+        if cfg.guard_nonfinite:
+            finite = jnp.all(
+                jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(grads)])
+            )
+            do_train = do_train & finite
 
         params_d, opt_d = gated_update(tx_d, grads, state.opt_d, state.params_d, do_train)
 
@@ -222,8 +227,13 @@ def make_train_step(
         grads = losses.add_penalty_grads(grads, state.params_g, sign_coef, cfg.g_l2)
         grads = losses.clamp_grads(grads, cfg.g_clamp)
 
-        always = jnp.bool_(True)
-        params_g, opt_g = gated_update(tx_g, grads, state.opt_g, state.params_g, always)
+        do_update = jnp.bool_(True)
+        if cfg.guard_nonfinite:
+            do_update = jnp.all(
+                jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(grads)])
+            )
+        params_g, opt_g = gated_update(tx_g, grads, state.opt_g, state.params_g,
+                                       do_update)
         state = state._replace(
             params_g=params_g, opt_g=opt_g, state_g=state_g, state_d=state_d
         )

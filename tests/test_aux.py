@@ -1,0 +1,74 @@
+"""Aux subsystem tests: non-finite update guard, metrics logger,
+config flag parity, nan debugging toggles."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegen.config import TrainConfig, train_config_from_args
+from facegen.models import gan
+from facegen.train.step import init_state, make_train_step
+
+
+def test_guard_nonfinite_skips_poisoned_update():
+    cfg = TrainConfig(
+        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=16,
+        compute_dtype="float32", reference_init=False, guard_nonfinite=True,
+    ).validate()
+    g, d, bundle = gan.init_gan(jax.random.key(0), 16, 1, 16, reference_init=False)
+    # poison D params so its loss/grads go NaN
+    bundle["params_d"] = jax.tree.map(
+        lambda x: jnp.full_like(x, jnp.nan), bundle["params_d"]
+    )
+    state = init_state(cfg, bundle)
+    pool = jax.random.randint(jax.random.key(1), (32, 16, 16, 1), 0, 256, jnp.uint8)
+    step = jax.jit(make_train_step(g, d, cfg))
+    new_state, m = step(state, jax.random.key(2), pool)
+    # D update skipped (grads nan) — params unchanged (still nan, but not updated)
+    assert int(new_state.not_trained_d) == 1
+    # G grads flow through a NaN D -> also non-finite -> G update skipped
+    for a, b in zip(jax.tree.leaves(new_state.params_g), jax.tree.leaves(state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    from facegen.utils.profiling import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path))
+    ml.log({"epoch": 1, "loss": 0.5})
+    ml.log({"epoch": 2, "loss": 0.25})
+    records = ml.read_all()
+    assert len(records) == 2
+    assert records[1]["epoch"] == 2
+    assert "time" in records[0]
+
+
+def test_cli_flag_parity():
+    cfg = train_config_from_args([
+        "--batchSize", "16", "--scale", "16", "--grayscale",
+        "--D_L2", "1e-5", "--D_iterations", "2", "--D_maxAcc", "0.9",
+        "--G_clamp", "3", "--D_optmethod", "adagrad", "--seed", "5",
+        "--noiseDim", "64", "--N_epoch", "500", "--saveFreq", "10",
+        "--syntheticData",
+    ])
+    assert cfg.batch_size == 16 and cfg.scale == 16 and cfg.grayscale
+    assert cfg.d_l2 == 1e-5 and cfg.d_iterations == 2 and cfg.d_max_acc == 0.9
+    assert cfg.g_clamp == 3 and cfg.d_optmethod == "adagrad"
+    assert cfg.seed == 5 and cfg.noise_dim == 64 and cfg.n_epoch == 500
+    assert cfg.save_freq == 10 and cfg.synthetic_data
+
+
+def test_cli_rejects_odd_batch():
+    with pytest.raises(ValueError):
+        train_config_from_args(["--batchSize", "7"])
+
+
+def test_accs_interval_formula():
+    # train.lua:207: max(20, min(1000/batchSize, 250))
+    assert TrainConfig(batch_size=32).accs_interval == 31
+    assert TrainConfig(batch_size=4).accs_interval == 250
+    assert TrainConfig(batch_size=100).accs_interval == 20
