@@ -150,6 +150,45 @@ def create_d_a(fine_size: int, channels: int) -> Module:
     return _with_head(add_pair(), body, "D_c2f_a")
 
 
+def create_g_b(fine_size: int, channels: int) -> Module:
+    """Unused variant create_G_b (models_c2f.lua:47-78): 4 convs."""
+    body = sequential(
+        L.subpixel_conv(64, 3, 1, name="conv1"), L.prelu(),
+        L.subpixel_conv(128, 5, 1, name="conv2"), L.prelu(),
+        L.subpixel_conv(256, 5, 1, name="conv3"), L.prelu(),
+        L.subpixel_conv(channels, 7, 1, name="conv4"),
+        name="inner",
+    )
+    return _with_head(concat_channels(), body, "G_c2f_b")
+
+
+def create_g_c(fine_size: int, channels: int) -> Module:
+    """Unused variant create_G_c (models_c2f.lua:80-111): wide 3-conv."""
+    body = sequential(
+        L.subpixel_conv(128, 5, 1, name="conv1"), L.prelu(),
+        L.subpixel_conv(256, 5, 1, name="conv2"), L.prelu(),
+        L.subpixel_conv(channels, 5, 1, name="conv3"),
+        name="inner",
+    )
+    return _with_head(concat_channels(), body, "G_c2f_c")
+
+
+def create_d_b(fine_size: int, channels: int) -> Module:
+    """Unused variant create_D_b (models_c2f.lua:194-235)."""
+    body = sequential(
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.max_pool(2),
+        L.conv2d(128, 3, name="conv3"), L.prelu(),
+        L.max_pool(2),
+        L.dropout(0.5), L.flatten(),
+        L.dense(512, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="inner",
+    )
+    return _with_head(add_pair(), body, "D_c2f_b")
+
+
 def init_c2f(key: jax.Array, fine_size: int, channels: int):
     """Create + init G/D; returns (g, d, bundle)."""
     g = create_g(fine_size, channels)

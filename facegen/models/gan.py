@@ -168,6 +168,90 @@ def create_d16(scale: int, channels: int) -> Module:
     )
 
 
+def create_d16_b(scale: int, channels: int) -> Module:
+    """Unused reference variant models.lua:161-216 (3-branch with
+    strided convs), logits out."""
+    fine = sequential(
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.conv2d(128, 3, name="conv3"), L.prelu(),
+        L.conv2d(128, 3, stride=2, name="conv4"), L.prelu(),
+        L.spatial_dropout(0.5),
+        L.flatten(), L.dense(512, name="fc"), L.prelu(), L.dropout(0.5),
+        name="fine",
+    )
+    coarse = sequential(
+        L.conv2d(64, 5, name="conv1"), L.prelu(),
+        L.conv2d(64, 5, name="conv2"), L.prelu(),
+        L.conv2d(128, 5, name="conv3"), L.prelu(),
+        L.conv2d(128, 5, stride=2, name="conv4"), L.prelu(),
+        L.spatial_dropout(0.5),
+        L.flatten(), L.dense(512, name="fc"), L.prelu(), L.dropout(0.5),
+        name="coarse",
+    )
+    dense_b = sequential(
+        L.flatten(), L.dense(1024, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1024, name="fc2"), L.prelu(),
+        name="dense",
+    )
+    return sequential(
+        branches(fine, coarse, dense_b),
+        L.dense(1024, name="fc_join"), L.prelu(), L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="D16b",
+    )
+
+
+def create_d16_c(scale: int, channels: int) -> Module:
+    """Unused reference variant models.lua:218-277 (deeper 3-branch),
+    logits out."""
+    fine = sequential(
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.conv2d(128, 3, name="conv3"), L.prelu(),
+        L.conv2d(128, 3, stride=2, name="conv4"), L.prelu(),
+        L.conv2d(512, 3, stride=2, name="conv5"), L.prelu(),
+        L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc"), L.prelu(),
+        name="fine",
+    )
+    coarse = sequential(
+        L.conv2d(64, 5, name="conv1"), L.prelu(),
+        L.conv2d(64, 5, name="conv2"), L.prelu(),
+        L.conv2d(128, 5, name="conv3"), L.prelu(),
+        L.conv2d(128, 5, stride=2, name="conv4"), L.prelu(),
+        L.conv2d(512, 5, stride=2, name="conv5"), L.prelu(),
+        L.spatial_dropout(0.5),
+        L.flatten(), L.dense(1024, name="fc"), L.prelu(),
+        name="coarse",
+    )
+    dense_b = sequential(
+        L.flatten(), L.dense(1024, name="fc1"), L.prelu(), L.dropout(0.5),
+        L.dense(1024, name="fc2"), L.prelu(),
+        name="dense",
+    )
+    return sequential(
+        branches(fine, coarse, dense_b),
+        L.dense(1024, name="fc_join"), L.prelu(), L.dropout(0.5),
+        L.dense(1, name="fc_out"),
+        name="D16c",
+    )
+
+
+def create_g_flat(scale: int, channels: int, noise_dim: int) -> Module:
+    """The dead first create_G definition (models.lua:12-21, shadowed by
+    the later one): Linear -> 2048 PReLU -> Linear -> sigmoid -> image."""
+    input_sz = scale * scale * channels
+    return sequential(
+        L.dense(2048, name="fc1"),
+        L.prelu(),
+        L.dense(input_sz, name="fc2"),
+        L.sigmoid(),
+        L.reshape((scale, scale, channels)),
+        name="G_flat",
+    )
+
+
 def create_d32(scale: int, channels: int) -> Module:
     """Unused reference variant models.lua:322-376 (3-branch), logits."""
     fine = sequential(

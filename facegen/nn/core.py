@@ -58,6 +58,9 @@ class Module:
     init: Callable[[jax.Array, Shape], Tuple[Params, State, Shape]]
     apply: Callable[[Params, State, jax.Array, Ctx], Tuple[jax.Array, State]]
     name: str = "module"
+    # composite modules expose (key, child) pairs for introspection
+    # (activation visualization, adversarial.lua:348-406 equivalent)
+    children: Tuple[Tuple[str, "Module"], ...] = ()
 
 
 def stateless(name: str, init_params: Callable[[jax.Array, Shape], Tuple[Params, Shape]],
@@ -101,7 +104,22 @@ def sequential(*modules: Module, name: str = "sequential") -> Module:
             x, new_state[k] = m.apply(params[k], state[k], x, ctx.fold(i))
         return x, new_state
 
-    return Module(init=init, apply=apply, name=name)
+    return Module(init=init, apply=apply, name=name,
+                  children=tuple(zip(keys, modules)))
+
+
+def sequential_activations(module: Module, params, state, x, ctx):
+    """Run a sequential module capturing every child's output.
+
+    Returns (final_output, [(key, activation), ...]). Used by the
+    activation visualizer (the reference's visualizeNetwork,
+    adversarial.lua:348-406, shows conv/linear layer outputs live).
+    """
+    acts = []
+    for i, (k, m) in enumerate(module.children):
+        x, _ = m.apply(params[k], state[k], x, ctx.fold(i))
+        acts.append((k, x))
+    return x, acts
 
 
 def branches(*modules: Module, axis: int = -1, name: str = "branches") -> Module:

@@ -350,10 +350,31 @@ def upsample_conv(
         return params, (h * factor, w * factor, features)
 
     def apply_fn(params, x, ctx):
-        return fused(x, params["w"].astype(x.dtype), params["b"].astype(x.dtype),
-                     factor)
+        w = params["w"].astype(x.dtype)
+        b = params["b"].astype(x.dtype)
+        # Inference on TPU takes the hand-written Pallas kernel (fastest
+        # at large batch, see ops/pallas/upsample_conv.py); training uses
+        # the XLA phase conv, whose autodiff is free and exact.
+        if not ctx.train and factor == 2 and _on_tpu():
+            from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
+
+            return upsample_conv_pallas(x, w, b)
+        return fused(x, w, b, factor)
 
     return stateless(name, init_params, apply_fn)
+
+
+_ON_TPU: Optional[bool] = None
+
+
+def _on_tpu() -> bool:
+    global _ON_TPU
+    if _ON_TPU is None:
+        try:
+            _ON_TPU = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _ON_TPU = False
+    return _ON_TPU
 
 
 def flatten(name: str = "flatten") -> Module:

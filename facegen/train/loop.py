@@ -193,6 +193,18 @@ class Trainer:
             "trained_d": trained,
             "not_trained_d": not_trained,
         }
+        if cfg.weights_vis_freq > 0:
+            # reference: D activation windows every weightsVisFreq
+            # batches (adversarial.lua:296-299); with the whole epoch
+            # compiled we dump once per epoch instead.
+            from facegen.utils.netvis import visualize_network
+
+            probe = pool[: min(4, pool.shape[0])].astype(jnp.float32) / 255.0
+            visualize_network(
+                self.d, self.state.params_d, self.state.state_d, probe,
+                os.path.join(cfg.save, "viz", "netvis"), key=k_viz,
+            )
+
         self.state = reset_epoch_stats(self.state)
         self.metrics_log.log(stats)
 
