@@ -102,7 +102,6 @@ def create_g(fine_size: int, channels: int) -> Module:
 
 def create_d(fine_size: int, channels: int) -> Module:
     """create_D_c. Input ((diff, coarse)) -> logits."""
-    s4 = fine_size // 4
     body = sequential(
         L.conv2d(64, 3, name="conv1"),
         L.prelu(),
@@ -138,7 +137,6 @@ def create_g_a(fine_size: int, channels: int) -> Module:
 
 def create_d_a(fine_size: int, channels: int) -> Module:
     """Unused variant create_D_a (models_c2f.lua:156-192)."""
-    s4 = fine_size // 4
     body = sequential(
         L.conv2d(64, 5, name="conv1"), L.prelu(), L.max_pool(2),
         L.conv2d(128, 5, name="conv2"), L.prelu(), L.max_pool(2),

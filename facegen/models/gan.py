@@ -26,8 +26,7 @@ which plane, not the architecture.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 
