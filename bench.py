@@ -154,6 +154,140 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
     return ips
 
 
+def bench_sampling(n: int = 1024, dataset_n: int = 4096) -> dict:
+    """BASELINE config 3: the sample.lua pipeline — generate n images,
+    D-score-rank them, nearest-neighbour search for the 16 best."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facegen.data.pipeline import prepare_pool
+    from facegen.data.synthetic import synthetic_faces
+    from facegen.models import gan
+    from facegen.utils.infer import GanInference, nearest_neighbours
+
+    g, d, bundle = gan.init_gan(jax.random.key(0), 32, 3, 100)
+    inf = GanInference(g, d, 100)
+    raw = synthetic_faces(jax.random.key(1), dataset_n)
+    dataset = np.asarray(prepare_pool(raw, jax.random.key(2), 32, 3))
+
+    def once(i):
+        imgs = inf.generate_n(bundle, jax.random.fold_in(jax.random.key(3), i), n)
+        best, scores = inf.rank(bundle, imgs, ascending=False, max_out=64)
+        idx, dist = nearest_neighbours(best[:16], dataset)
+        return float(scores[0]) + float(dist.sum())
+
+    once(0)  # compile
+    t0 = time.perf_counter()
+    runs = 5
+    acc = 0.0
+    for i in range(runs):
+        acc += once(1 + i)
+    dt = (time.perf_counter() - t0) / runs
+    return {"seconds_per_run": dt, "images_per_sec": n / dt}
+
+
+def bench_c2f(n_epoch: int = 1000, batch: int = 32) -> dict:
+    """BASELINE config 4: coarse-to-fine refinement GAN train epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from facegen.config import C2FConfig
+    from facegen.data.c2f import make_triples
+    from facegen.data.pipeline import prepare_pool
+    from facegen.data.synthetic import synthetic_faces
+    from facegen.models import c2f as c2f_models
+    from facegen.train.c2f import init_c2f_state, make_epoch_fn
+
+    cfg = C2FConfig(batch_size=batch, n_epoch=n_epoch,
+                    compute_dtype="bfloat16").validate()
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size, cfg.channels)
+    state = init_c2f_state(cfg, bundle)
+    raw = synthetic_faces(jax.random.key(1), 4096)
+    fine = prepare_pool(raw, jax.random.key(2), cfg.fine_size, cfg.channels)
+    pool = make_triples(fine, cfg.coarse_size)
+    epoch = jax.jit(make_epoch_fn(g, d, cfg))
+    s, ms = epoch(state, jax.random.key(3), pool)
+    float(jnp.sum(ms.loss_d))
+    t0 = time.perf_counter()
+    for e in range(3):
+        s, ms = epoch(s, jax.random.fold_in(jax.random.key(4), e), pool)
+    float(jnp.sum(ms.loss_d))
+    dt = (time.perf_counter() - t0) / 3
+    return {"seconds_per_epoch": dt, "images_per_sec": n_epoch / dt}
+
+
+def bench_ae_denoiser(batch: int = 32) -> dict:
+    """BASELINE config 5: autoencoder + denoiser train epochs."""
+    import dataclasses
+
+    from facegen.config import TrainConfig
+    from facegen.data.pipeline import DataSource
+    from facegen.train.ae_loop import train_autoencoder, train_denoiser
+
+    cfg = TrainConfig(batch_size=batch, scale=32, grayscale=True, n_epoch=4096,
+                      compute_dtype="bfloat16", synthetic_data=True,
+                      save="/tmp/facegen_bench_ae").validate()
+    src = DataSource(scale=32, channels=1, synthetic=True)
+    _, _, _, hist = train_autoencoder(cfg, source=src, epochs=3, verbose=False)
+    ae_ips = 4096 / min(h["seconds"] for h in hist[1:])
+    cfg16 = dataclasses.replace(cfg, scale=16)
+    src16 = DataSource(scale=16, channels=1, synthetic=True)
+    _, _, hist2 = train_denoiser(cfg16, source=src16, epochs=3, verbose=False)
+    dn_ips = 4096 / min(h["seconds"] for h in hist2[1:])
+    return {"autoencoder_images_per_sec": ae_ips, "denoiser_images_per_sec": dn_ips}
+
+
+def full_suite():
+    """Measure all five BASELINE.md configs; writes BENCH_FULL.json."""
+    import json as _json
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    results = {}
+    log("config 2: color GAN train (headline)...")
+    results["gan_color_32"] = {"images_per_sec": bench_facegen_tpu()}
+    log("config 1: grayscale GAN train...")
+    import jax
+
+    results["gan_gray_32"] = {"images_per_sec": _bench_gray()}
+    log("config 3: sampling pipeline...")
+    results["sample_pipeline"] = bench_sampling()
+    log("config 4: c2f train...")
+    results["c2f_train"] = bench_c2f()
+    log("config 5: AE/denoiser train...")
+    results["ae_denoiser"] = bench_ae_denoiser()
+    with open("BENCH_FULL.json", "w") as f:
+        _json.dump(results, f, indent=1)
+    log(_json.dumps(results, indent=1))
+    return results
+
+
+def _bench_gray(n_epoch: int = 1000, batch: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from facegen.config import TrainConfig
+    from facegen.data.pipeline import prepare_pool
+    from facegen.data.synthetic import synthetic_faces
+    from facegen.models import gan
+    from facegen.train.step import init_state, make_epoch_fn
+
+    cfg = TrainConfig(batch_size=batch, scale=32, grayscale=True,
+                      n_epoch=n_epoch, compute_dtype="bfloat16").validate()
+    g, d, bundle = gan.init_gan(jax.random.key(0), 32, 1, 100)
+    state = init_state(cfg, bundle)
+    raw = synthetic_faces(jax.random.key(1), 4096)
+    pool = prepare_pool(raw, jax.random.key(2), 32, 1)
+    epoch = jax.jit(make_epoch_fn(g, d, cfg))
+    s, ms = epoch(state, jax.random.key(3), pool)
+    float(jnp.sum(ms.loss_d))
+    t0 = time.perf_counter()
+    for e in range(3):
+        s, ms = epoch(s, jax.random.fold_in(jax.random.key(4), e), pool)
+    float(jnp.sum(ms.loss_d))
+    return n_epoch * 3 / (time.perf_counter() - t0)
+
+
 def _baseline_in_subprocess() -> float:
     """Run the torch baseline in a child process: importing torch next
     to the TPU tunnel client corrupts the backend (FailedPrecondition
@@ -176,6 +310,9 @@ def main():
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     if "--baseline-only" in sys.argv:
         print(f"BASELINE_IPS={bench_torch_cpu_baseline()}")
+        return
+    if "--full" in sys.argv:
+        full_suite()
         return
     log("measuring Torch-CPU baseline (reference proxy) ...")
     baseline_ips = _baseline_in_subprocess()

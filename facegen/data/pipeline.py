@@ -114,10 +114,16 @@ class DataSource:
 
 
 class Prefetcher:
-    """Double-buffer the epoch pool: while epoch N trains on device, the
-    host thread gathers + uploads epoch N+1's pool. The reference
-    reloads and re-decodes JPEGs synchronously between epochs
-    (train.lua:199-207); here pool preparation overlaps training.
+    """Overlap the HOST side of the next epoch's pool build (memmap
+    gather into a contiguous block, via the native threaded gather) with
+    the current epoch's device training. The reference reloads and
+    re-decodes JPEGs synchronously between epochs (train.lua:199-207).
+
+    Only host work runs on the background thread; every device dispatch
+    (device_put, augmentation, resize) happens on the caller's thread —
+    remote-tunnel TPU clients are not safe for concurrent dispatch from
+    multiple threads (concurrent compile + execute deadlocks).
+    Synthetic sources have no host work, so prefetch is a no-op there.
     """
 
     def __init__(self, source: DataSource, n: int):
@@ -129,24 +135,42 @@ class Prefetcher:
         self._thread = None
         self._result = None
 
-    def _work(self, key):
-        self._result = self.source.epoch_pool(key, self.n)
+    def _host_gather(self, key):
+        import numpy as np
+
+        idx = np.sort(
+            np.asarray(
+                jax.random.randint(
+                    key, (self.n,), self.source.holdout, self.source.store.shape[0]
+                )
+            )
+        )
+        from facegen import native
+
+        self._result = native.gather_rows(np.asarray(self.source.store), idx)
 
     def schedule(self, key) -> None:
+        if self.source.synthetic or self.source.store is None:
+            return  # nothing host-side to overlap
         assert self._thread is None, "previous prefetch not consumed"
-        self._thread = self._threading.Thread(target=self._work, args=(key,),
-                                              daemon=True)
+        k_sel, _ = jax.random.split(key)
+        self._thread = self._threading.Thread(
+            target=self._host_gather, args=(k_sel,), daemon=True
+        )
         self._thread.start()
 
-    def get(self, key=None):
-        """Join the pending prefetch, or fetch synchronously if none."""
+    def get(self, key):
+        """Finish the pending host gather (if any) and build the pool on
+        the calling thread; falls back to a fully synchronous build."""
         if self._thread is None:
-            if key is None:
-                raise ValueError("no prefetch scheduled and no key given")
             return self.source.epoch_pool(key, self.n)
         self._thread.join()
-        out, self._thread, self._result = self._result, None, None
-        return out
+        raw, self._thread, self._result = self._result, None, None
+        _, k_aug = jax.random.split(key)
+        return prepare_pool(
+            jax.device_put(raw), k_aug, self.source.scale, self.source.channels,
+            self.source.augment,
+        )
 
 
 def make_source(cfg, holdout: int = 0) -> DataSource:

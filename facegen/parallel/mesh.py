@@ -44,7 +44,7 @@ def make_mesh(mesh_shape: Sequence[int] = (-1,), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     shape = tuple(mesh_shape)
-    if shape == (-1,) or shape == (-1,):
+    if shape == (-1,):
         shape = (n,)
     total = 1
     for s in shape:

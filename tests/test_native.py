@@ -59,17 +59,29 @@ def test_decode_crop_resize_matches_pil(tmp_path):
         assert float(np.mean(diff)) < 4.0, float(np.mean(diff))
 
 
-def test_prefetcher_overlap():
+def test_prefetcher_synthetic_noop_and_sync_equal():
     import jax
 
     from facegen.data.pipeline import DataSource, Prefetcher
 
     src = DataSource(scale=16, channels=1, synthetic=True)
     pf = Prefetcher(src, 8)
-    # no schedule -> synchronous path
-    pool1 = pf.get(jax.random.key(0))
+    pool1 = pf.get(jax.random.key(0))  # synchronous path
     assert pool1.shape == (8, 16, 16, 1)
-    # scheduled path returns the same pool for the same key
-    pf.schedule(jax.random.key(0))
-    pool2 = pf.get()
+    pf.schedule(jax.random.key(0))  # no-op for synthetic sources
+    pool2 = pf.get(jax.random.key(0))
     np.testing.assert_array_equal(np.asarray(pool1), np.asarray(pool2))
+
+
+def test_prefetcher_store_path_matches_direct():
+    import jax
+
+    from facegen.data.pipeline import DataSource, Prefetcher
+
+    store = np.random.RandomState(0).randint(0, 256, (64, 64, 64, 3)).astype(np.uint8)
+    src = DataSource(scale=16, channels=3, store=store, augment=False)
+    pf = Prefetcher(src, 8)
+    direct = src.epoch_pool(jax.random.key(1), 8)
+    pf.schedule(jax.random.key(1))
+    fetched = pf.get(jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(fetched))
