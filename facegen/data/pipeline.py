@@ -78,21 +78,25 @@ class DataSource:
             return int(self.store.shape[0]) - self.holdout
         return 1 << 30  # synthetic: unbounded
 
+    def host_gather(self, key: jax.Array, n: int) -> np.ndarray:
+        """Host-side random gather from the memmap store (native
+        threaded memcpy); indices sorted for sequential-ish reads."""
+        idx = np.sort(
+            np.asarray(
+                jax.random.randint(key, (n,), self.holdout, self.store.shape[0])
+            )
+        )
+        from facegen import native
+
+        return native.gather_rows(np.asarray(self.store), idx)
+
     def raw_batch(self, key: jax.Array, n: int) -> jax.Array:
         """(n, 64, 64, 3) uint8 on device, pre-augmentation."""
         if self.synthetic or self.store is None:
             from facegen.data.synthetic import synthetic_faces
 
             return synthetic_faces(key, n)
-        idx = np.sort(
-            np.asarray(
-                jax.random.randint(key, (n,), self.holdout, self.store.shape[0])
-            )
-        )  # sorted for sequential-ish memmap reads
-        from facegen import native
-
-        block = native.gather_rows(np.asarray(self.store), idx)
-        return jax.device_put(block)
+        return jax.device_put(self.host_gather(key, n))
 
     def epoch_pool(self, key: jax.Array, n: int) -> jax.Array:
         k_sel, k_aug = jax.random.split(key)
@@ -136,18 +140,7 @@ class Prefetcher:
         self._result = None
 
     def _host_gather(self, key):
-        import numpy as np
-
-        idx = np.sort(
-            np.asarray(
-                jax.random.randint(
-                    key, (self.n,), self.source.holdout, self.source.store.shape[0]
-                )
-            )
-        )
-        from facegen import native
-
-        self._result = native.gather_rows(np.asarray(self.source.store), idx)
+        self._result = self.source.host_gather(key, self.n)
 
     def schedule(self, key) -> None:
         if self.source.synthetic or self.source.store is None:
