@@ -164,12 +164,14 @@ def bench_sampling(n: int = 1024, dataset_n: int = 4096) -> dict:
     from facegen.data.pipeline import prepare_pool
     from facegen.data.synthetic import synthetic_faces
     from facegen.models import gan
-    from facegen.utils.infer import GanInference, nearest_neighbours
+    from facegen.utils.infer import GanInference, nearest_neighbours, prepare_nn_dataset
 
     g, d, bundle = gan.init_gan(jax.random.key(0), 32, 3, 100)
     inf = GanInference(g, d, 100)
     raw = synthetic_faces(jax.random.key(1), dataset_n)
-    dataset = np.asarray(prepare_pool(raw, jax.random.key(2), 32, 3))
+    dataset = prepare_nn_dataset(
+        np.asarray(prepare_pool(raw, jax.random.key(2), 32, 3))
+    )
 
     def once(i):
         imgs = inf.generate_n(bundle, jax.random.fold_in(jax.random.key(3), i), n)

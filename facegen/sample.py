@@ -61,6 +61,7 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
     g, d, bundle, meta = load_models(cfg)
     inf = GanInference(g, d, cfg.noise_dim)
     os.makedirs(cfg.writeto, exist_ok=True)
+    nn_dataset = None  # uploaded/flattened once across runs
     outputs = []
     for run in range(1, cfg.runs + 1):
         key = jax.random.fold_in(jax.random.key(cfg.seed), run)
@@ -85,7 +86,11 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
         if cfg.neighbours:
             if dataset is None:
                 dataset = _load_dataset(cfg)
-            idx, dist = nearest_neighbours(jnp.asarray(best[:16]), dataset)
+            if nn_dataset is None:
+                from facegen.utils.infer import prepare_nn_dataset
+
+                nn_dataset = prepare_nn_dataset(dataset)
+            idx, dist = nearest_neighbours(jnp.asarray(best[:16]), nn_dataset)
             matches = np.asarray(dataset[idx[:, 0]], np.float32)
             if matches.dtype != np.float32 or matches.max() > 1.5:
                 matches = matches.astype(np.float32) / 255.0
