@@ -352,13 +352,14 @@ def upsample_conv(
     def apply_fn(params, x, ctx):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
-        # Inference on TPU takes the hand-written Pallas kernel (fastest
-        # at large batch, see ops/pallas/upsample_conv.py); training uses
-        # the XLA phase conv, whose autodiff is free and exact.
-        if not ctx.train and factor == 2 and _on_tpu():
-            from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
+        # On TPU, factor-2 takes the custom-VJP op: Pallas forward +
+        # linear-transpose backward (ops/upsample_conv.py). Elsewhere
+        # (and for other factors) the XLA phase conv with native
+        # autodiff — identical math either way.
+        if factor == 2 and _on_tpu():
+            from facegen.ops.upsample_conv import upsample_conv_opt
 
-            return upsample_conv_pallas(x, w, b)
+            return upsample_conv_opt(x, w, b)
         return fused(x, w, b, factor)
 
     return stateless(name, init_params, apply_fn)

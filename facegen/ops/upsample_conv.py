@@ -98,3 +98,41 @@ def upsample_conv(x: jax.Array, w: jax.Array, b: jax.Array, factor: int = 2) -> 
     )
     y = depth_to_space(y, factor)
     return y + b.astype(x.dtype)
+
+
+@jax.custom_vjp
+def upsample_conv_opt(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """upsample_conv(factor=2) with a Pallas forward on TPU and an
+    explicit backward built by `jax.linear_transpose` — the op is
+    bilinear in (x, w), so the VJP needs no forward recompute."""
+    return upsample_conv(x, w, b, 2)
+
+
+_PALLAS_MIN_BATCH = 64  # below this the XLA phase conv wins (fusion with
+                        # neighbours beats the kernel's VMEM residency)
+
+
+def _opt_fwd(x, w, b):
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and x.shape[0] >= _PALLAS_MIN_BATCH:
+        from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
+
+        y = upsample_conv_pallas(x, w, b)
+    else:
+        y = upsample_conv(x, w, b, 2)
+    return y, (x, w)
+
+
+def _opt_bwd(res, dy):
+    x, w = res
+    zero_b = jnp.zeros((w.shape[-1],), dy.dtype)
+    dx = jax.linear_transpose(lambda xx: upsample_conv(xx, w, zero_b, 2), x)(dy)[0]
+    dw = jax.linear_transpose(lambda ww: upsample_conv(x, ww, zero_b, 2), w)(dy)[0]
+    db = jnp.sum(dy, axis=(0, 1, 2))
+    return dx, dw, db
+
+
+upsample_conv_opt.defvjp(_opt_fwd, _opt_bwd)

@@ -80,6 +80,26 @@ def test_depth_to_space_phase_order():
     )
 
 
+def test_custom_vjp_grads_match_autodiff():
+    from facegen.ops.upsample_conv import upsample_conv_opt
+
+    kx, kw, kb = jax.random.split(jax.random.key(3), 3)
+    x = jax.random.normal(kx, (2, 4, 4, 6), jnp.float32)
+    w = jax.random.normal(kw, (5, 5, 6, 3), jnp.float32) * 0.1
+    b = jax.random.normal(kb, (3,), jnp.float32)
+
+    def loss_opt(x_, w_, b_):
+        return jnp.sum(upsample_conv_opt(x_, w_, b_) ** 2)
+
+    def loss_ref(x_, w_, b_):
+        return jnp.sum(upsample_conv(x_, w_, b_) ** 2)
+
+    go = jax.grad(loss_opt, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_kernel_matches_fused():
     from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
 
