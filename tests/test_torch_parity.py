@@ -1,0 +1,140 @@
+"""Cross-framework golden tests: facegen models vs an independent
+PyTorch implementation of the reference architectures, with identical
+weights. This pins the architecture semantics (layer order, padding,
+PReLU sharing, BN eval behavior, the fused upsample+conv decomposition)
+against a second implementation, not just against ourselves.
+
+Eval mode only (dropout off; BN uses running stats) so outputs are
+deterministic. fp32 everywhere; tolerance 2e-3 (accumulation-order and
+phase-collapse reassociation drift between frameworks).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from facegen.models import gan
+from facegen.nn.core import Ctx
+
+
+def to_t(a):
+    return torch.from_numpy(np.asarray(a, np.float32))
+
+
+def build_torch_g32(params, state, channels):
+    import torch.nn as nn
+
+    net = nn.Sequential(
+        nn.Linear(100, 128 * 8 * 8),
+        nn.PReLU(),
+        nn.Unflatten(1, (128, 8, 8)),
+        nn.UpsamplingNearest2d(scale_factor=2),
+        nn.Conv2d(128, 256, 5, padding=2),
+        nn.BatchNorm2d(256),
+        nn.PReLU(),
+        nn.UpsamplingNearest2d(scale_factor=2),
+        nn.Conv2d(256, 128, 5, padding=2),
+        nn.BatchNorm2d(128),
+        nn.PReLU(),
+        nn.Conv2d(128, channels, 3, padding=1),
+        nn.Sigmoid(),
+    )
+    with torch.no_grad():
+        net[0].weight.copy_(to_t(params["00_fc"]["w"]).T)
+        net[0].bias.copy_(to_t(params["00_fc"]["b"]))
+        net[1].weight.copy_(to_t(params["02_prelu"]["a"]))
+        for t_idx, key in [(4, "03_upconv1"), (8, "06_upconv2"), (11, "09_conv_out")]:
+            # HWIO -> OIHW
+            net[t_idx].weight.copy_(to_t(params[key]["w"]).permute(3, 2, 0, 1))
+            net[t_idx].bias.copy_(to_t(params[key]["b"]))
+        for t_idx, key in [(5, "04_batch_norm"), (9, "07_batch_norm")]:
+            net[t_idx].weight.copy_(to_t(params[key]["scale"]))
+            net[t_idx].bias.copy_(to_t(params[key]["bias"]))
+            net[t_idx].running_mean.copy_(to_t(state[key]["mean"]))
+            net[t_idx].running_var.copy_(to_t(state[key]["var"]))
+        net[6].weight.copy_(to_t(params["05_prelu"]["a"]))
+        net[10].weight.copy_(to_t(params["08_prelu"]["a"]))
+    net.eval()
+    return net
+
+
+def test_g32_forward_matches_torch():
+    channels = 3
+    g = gan.create_g(32, channels, 100)
+    params, state, _ = g.init(jax.random.key(0), (100,))
+    # give BN non-trivial running stats
+    state = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, state
+    )
+    z = np.asarray(
+        jax.random.uniform(jax.random.key(1), (4, 100), jnp.float32, -1, 1)
+    )
+    ours, _ = g.apply(params, state, jnp.asarray(z), Ctx(None, False))
+    ours = np.asarray(ours)  # NHWC
+
+    net = build_torch_g32(params, state, channels)
+    with torch.no_grad():
+        theirs = net(to_t(z)).numpy()  # NCHW
+    theirs = np.transpose(theirs, (0, 2, 3, 1))
+    # the phase-collapsed conv reassociates weight sums (exact in real
+    # arithmetic, ~1e-3 relative rounding drift in fp32 vs the composed op)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+def build_torch_d32b(params, channels):
+    import torch.nn as nn
+
+    layers = []
+    in_c = channels
+    conv_keys = []
+    for i, out_c in enumerate((64, 128, 256, 512)):
+        layers += [
+            nn.Conv2d(in_c, out_c, 3, padding=1),
+            nn.PReLU(),
+            nn.Dropout2d(0.2),
+            nn.AvgPool2d(2),
+        ]
+        in_c = out_c
+    layers += [
+        nn.Flatten(),
+        nn.Linear(512 * 2 * 2, 512), nn.PReLU(), nn.Dropout(),
+        nn.Linear(512, 512), nn.PReLU(), nn.Dropout(),
+        nn.Linear(512, 1),
+    ]
+    net = nn.Sequential(*layers)
+    with torch.no_grad():
+        conv_map = [(0, "00_conv64"), (4, "04_conv128"), (8, "08_conv256"),
+                    (12, "12_conv512")]
+        for t_idx, key in conv_map:
+            net[t_idx].weight.copy_(to_t(params[key]["w"]).permute(3, 2, 0, 1))
+            net[t_idx].bias.copy_(to_t(params[key]["b"]))
+            net[t_idx + 1].weight.copy_(to_t(params[f"{t_idx+1:02d}_prelu"]["a"]))
+        fc_map = [(17, "17_fc1"), (20, "20_fc2"), (23, "23_fc_out")]
+        for t_idx, key in fc_map:
+            net[t_idx].weight.copy_(to_t(params[key]["w"]).T)
+            net[t_idx].bias.copy_(to_t(params[key]["b"]))
+        net[18].weight.copy_(to_t(params["18_prelu"]["a"]))
+        net[21].weight.copy_(to_t(params["21_prelu"]["a"]))
+    net.eval()
+    return net
+
+
+def test_d32b_forward_matches_torch():
+    channels = 3
+    d = gan.create_d32b(32, channels)
+    params, state, _ = d.init(jax.random.key(0), (32, 32, channels))
+    x = np.asarray(
+        jax.random.uniform(jax.random.key(1), (4, 32, 32, channels), jnp.float32)
+    )
+    ours, _ = d.apply(params, state, jnp.asarray(x), Ctx(None, False))
+    ours = np.asarray(ours)
+
+    net = build_torch_d32b(params, channels)
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    # fp32 accumulation-order drift across the 4-conv stack
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
