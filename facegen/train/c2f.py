@@ -263,6 +263,34 @@ class C2FTrainer:
         self.state, meta = ckpt.load(directory, name, self.state)
         self._log(f"<trainer> reloaded previously trained network: {network}")
 
+    def get_samples_grid(self, key: jax.Array, n: int = 8) -> "np.ndarray":
+        """The train_c2f.lua:187-216 5-tuple plot: for n validation
+        examples, rows of (coarse | ground truth | refined | GT diff |
+        G diff); returns the grid array and writes it from train_epoch."""
+        from facegen.data.c2f import gather_triple
+        from facegen.utils.grids import to_grid
+
+        k_pick, k_noise = jax.random.split(key)
+        idx = jax.random.randint(k_pick, (n,), 0, self.val_pool.size)
+        fine, coarse, diff = gather_triple(self.val_pool, idx)
+        fs, c = self.cfg.fine_size, self.cfg.channels
+        z = jax.random.uniform(k_noise, (n, fs, fs, 1), jnp.float32, -1.0, 1.0)
+        from facegen.nn.core import Ctx
+
+        g_diff, _ = self.g.apply(self.state.params_g, self.state.state_g,
+                                 (z, coarse), Ctx(None, False))
+        refined = jnp.clip(coarse + g_diff, 0.0, 1.0)
+        rows = []
+        for i in range(n):
+            rows += [
+                np.asarray(coarse[i]),
+                np.asarray(fine[i]),
+                np.asarray(refined[i]),
+                np.asarray(jnp.clip(diff[i] + 0.5, 0, 1)),      # signed -> mid-gray
+                np.asarray(jnp.clip(g_diff[i] + 0.5, 0, 1)),
+            ]
+        return to_grid(np.stack(rows), nrow=5)
+
     def train_epoch(self, epoch_idx: int) -> dict:
         cfg = self.cfg
         key = jax.random.fold_in(jax.random.key(cfg.seed), 20_000 + epoch_idx)
@@ -270,6 +298,12 @@ class C2FTrainer:
         self._log("Loading new training data...")
         fine = self.source.epoch_pool(k_pool, self.pool_n)
         pool = make_triples(fine, cfg.coarse_size)
+
+        if not cfg.noplot:
+            from facegen.utils.grids import save_png
+
+            grid = self.get_samples_grid(jax.random.fold_in(key, 99), 20)
+            save_png(os.path.join(cfg.save, "viz", "c2f_samples.png"), grid)
 
         t0 = time.perf_counter()
         self.state, ms = self.epoch_fn(self.state, k_epoch, pool)

@@ -114,6 +114,17 @@ def test_parzen_distances_reasonable():
     assert bool(jnp.isfinite(dists).all()) and float(dists.min()) >= 0
 
 
+def test_get_samples_grid(tmp_path):
+    from facegen.train.c2f import C2FTrainer
+
+    cfg = tiny_cfg(tmp_path)
+    tr = C2FTrainer(cfg, verbose=False)
+    grid = tr.get_samples_grid(jax.random.key(0), 4)
+    # 4 rows x 5 columns of fine_size tiles (+padding)
+    assert grid.shape[1] == 5 * (cfg.fine_size + 1) + 1
+    assert grid.min() >= 0.0 and grid.max() <= 1.0
+
+
 def test_refine_c2f_shapes():
     from facegen.sample import refine_c2f
 
