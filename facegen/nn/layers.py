@@ -352,14 +352,17 @@ def upsample_conv(
     def apply_fn(params, x, ctx):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
-        # On TPU, factor-2 takes the custom-VJP op: Pallas forward +
-        # linear-transpose backward (ops/upsample_conv.py). Elsewhere
-        # (and for other factors) the XLA phase conv with native
-        # autodiff — identical math either way.
-        if factor == 2 and _on_tpu():
-            from facegen.ops.upsample_conv import upsample_conv_opt
+        # Inference on TPU at batch >= 64 takes the Pallas kernel (wins
+        # when the op stands alone, e.g. 1024-image sampling). Training
+        # always uses the XLA phase conv: measured end-to-end, XLA's
+        # fusion of the neighbouring BN/PReLU into the conv beats the
+        # hand kernel at every batch size (12.9k vs 13.3k img/s at
+        # batch 128) — the Pallas fwd/bwd kernels remain available in
+        # ops/pallas/upsample_conv.py with parity tests.
+        if factor == 2 and not ctx.train and x.shape[0] >= 64 and _on_tpu():
+            from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
 
-            return upsample_conv_opt(x, w, b)
+            return upsample_conv_pallas(x, w, b)
         return fused(x, w, b, factor)
 
     return stateless(name, init_params, apply_fn)

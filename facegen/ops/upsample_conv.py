@@ -128,10 +128,23 @@ def _opt_fwd(x, w, b):
 
 def _opt_bwd(res, dy):
     x, w = res
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and x.shape[0] >= _PALLAS_MIN_BATCH:
+        from facegen.ops.pallas.upsample_conv import (
+            upsample_conv_dw_pallas,
+            upsample_conv_dx_pallas,
+        )
+
+        dx = upsample_conv_dx_pallas(dy, w)
+        dw = upsample_conv_dw_pallas(x, dy, kernel=w.shape[0]).astype(w.dtype)
+        return dx, dw, db
     zero_b = jnp.zeros((w.shape[-1],), dy.dtype)
     dx = jax.linear_transpose(lambda xx: upsample_conv(xx, w, zero_b, 2), x)(dy)[0]
     dw = jax.linear_transpose(lambda ww: upsample_conv(x, ww, zero_b, 2), w)(dy)[0]
-    db = jnp.sum(dy, axis=(0, 1, 2))
     return dx, dw, db
 
 

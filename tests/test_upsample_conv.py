@@ -110,3 +110,32 @@ def test_pallas_kernel_matches_fused():
     got = upsample_conv_pallas(x, w, b, interpret=True)
     ref = upsample_conv(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_space_to_depth_inverts_depth_to_space():
+    from facegen.ops.pallas.upsample_conv import space_to_depth
+
+    y = jax.random.normal(jax.random.key(0), (2, 3, 5, 12))
+    np.testing.assert_array_equal(
+        np.asarray(space_to_depth(depth_to_space(y, 2), 2)), np.asarray(y)
+    )
+
+
+def test_pallas_backward_kernels_match_transpose():
+    from facegen.ops.pallas.upsample_conv import (
+        upsample_conv_dw_pallas,
+        upsample_conv_dx_pallas,
+    )
+
+    kx, kw, kd = jax.random.split(jax.random.key(4), 3)
+    x = jax.random.normal(kx, (4, 6, 6, 8), jnp.float32)
+    w = jax.random.normal(kw, (5, 5, 8, 4), jnp.float32) * 0.2
+    dy = jax.random.normal(kd, (4, 12, 12, 4), jnp.float32)
+    zero_b = jnp.zeros((4,), jnp.float32)
+
+    dx_ref = jax.linear_transpose(lambda xx: upsample_conv(xx, w, zero_b), x)(dy)[0]
+    dw_ref = jax.linear_transpose(lambda ww: upsample_conv(x, ww, zero_b), w)(dy)[0]
+    dx = upsample_conv_dx_pallas(dy, w, interpret=True)
+    dw = upsample_conv_dw_pallas(x, dy, kernel=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
