@@ -114,6 +114,37 @@ def exists(directory: str, name: str) -> bool:
     return os.path.exists(os.path.join(directory, name, "arrays.npz"))
 
 
+def save_orbax(directory: str, name: str, state: Any, meta: Optional[dict] = None) -> str:
+    """Alternative backend: orbax PyTreeCheckpointer (for users who want
+    orbax's async/multi-host machinery). The npz format above remains
+    the default — same tree, different serialization."""
+    import orbax.checkpoint as ocp
+
+    target = os.path.abspath(os.path.join(directory, name + ".orbax"))
+    if os.path.exists(target):
+        old = target + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(target, old)
+    ocp.PyTreeCheckpointer().save(target, state)
+    with open(os.path.join(target, "facegen_meta.json"), "w") as f:
+        json.dump({"version": FORMAT_VERSION, **(meta or {})}, f)
+    return target
+
+
+def load_orbax(directory: str, name: str, template: Any) -> Tuple[Any, dict]:
+    import orbax.checkpoint as ocp
+
+    target = os.path.abspath(os.path.join(directory, name + ".orbax"))
+    restored = ocp.PyTreeCheckpointer().restore(target, item=template)
+    meta = {}
+    meta_path = os.path.join(target, "facegen_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
+
+
 def config_meta(cfg) -> dict:
     """Store the run flags inside the checkpoint like the reference's
     `opt = OPT` field (adversarial.lua:328)."""

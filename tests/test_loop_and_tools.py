@@ -60,6 +60,16 @@ def test_checkpoint_rotation(tmp_path):
     np.testing.assert_array_equal(np.asarray(new["w"]), np.zeros(3))
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "n": jnp.int32(7)}
+    ckpt.save_orbax(str(tmp_path), "net", tree, meta={"epoch": 3})
+    template = {"w": jnp.zeros((2, 3)), "n": jnp.int32(0)}
+    restored, meta = ckpt.load_orbax(str(tmp_path), "net", template)
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
+    assert int(restored["n"]) == 7
+
+
 def test_checkpoint_missing_leaf_strict(tmp_path):
     ckpt.save(str(tmp_path), "net", {"a": jnp.ones(2)})
     with pytest.raises(KeyError):
