@@ -77,6 +77,22 @@ def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3):
     return jax.jit(epoch)
 
 
+def _dump_recon_grid(model_apply, pool, out_path: str, n: int = 16):
+    """input|reconstruction pair grid — the PNG equivalent of the AE
+    trainers' per-epoch sample plots (train_autoencoder.lua:250-272,
+    train_denoiser.lua:174-201)."""
+    import numpy as np
+
+    from facegen.utils.grids import save_grid
+
+    x = pool[:n].astype(jnp.float32) / 255.0
+    y = model_apply(x)
+    rows = np.empty((2 * n,) + x.shape[1:], np.float32)
+    rows[0::2] = np.asarray(x)
+    rows[1::2] = np.asarray(jnp.clip(y, 0, 1))
+    save_grid(out_path, rows, nrow=8)
+
+
 def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
                       verbose: bool = True):
     """Returns (model, params, state, history). Grayscale by default —
@@ -113,6 +129,11 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
             ckpt.save(cfg.save, AE.AE_CKPT_NAME,
                       {"params": params, "state": state, "opt": tx_opt},
                       meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
+    if not cfg.noplot:
+        _dump_recon_grid(
+            lambda x: model.apply(params, state, x, Ctx(None, False))[0],
+            pool, os.path.join(cfg.save, "viz", "ae_recon.png"),
+        )
     return model, params, state, history
 
 
@@ -236,4 +257,11 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
         if (e + 1) % 50 == 0 or e + 1 == n:
             ckpt.save(cfg.save, AE.denoiser_ckpt_name(cfg.scale, cfg.channels),
                       bundle, meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
+    if not cfg.noplot:
+        _dump_recon_grid(
+            lambda x: dec1.apply(bundle["AE1_DECODER"]["params"],
+                                 bundle["AE1_DECODER"]["state"], x,
+                                 Ctx(None, False))[0],
+            val_pool, os.path.join(cfg.save, "viz", "denoiser_recon.png"),
+        )
     return (enc, dec1, dec2), bundle, history
