@@ -45,6 +45,7 @@ class AugmentConfig:
     """Defaults = generate_dataset.py:43-48."""
 
     hflip: bool = True
+    vflip: bool = False  # supported by augment() but off at every call site
     scale_min: float = 0.82
     scale_max: float = 1.10
     rotation_deg: float = 8.0
@@ -55,10 +56,11 @@ class AugmentConfig:
 
 def sample_affine_params(key: jax.Array, n: int, cfg: AugmentConfig) -> dict:
     """Draw per-image augmentation parameters (one key -> n images)."""
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     deg = jnp.pi / 180.0
     return {
         "flip": jax.random.bernoulli(ks[0], 0.5, (n,)) & jnp.bool_(cfg.hflip),
+        "vflip": jax.random.bernoulli(ks[6], 0.5, (n,)) & jnp.bool_(cfg.vflip),
         "scale": jax.random.uniform(ks[1], (n,), minval=cfg.scale_min, maxval=cfg.scale_max),
         "rot": jax.random.uniform(ks[2], (n,), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg) * deg,
         "shear": jax.random.uniform(ks[3], (n,), minval=-cfg.shear_deg, maxval=cfg.shear_deg) * deg,
@@ -162,6 +164,8 @@ def augment_batch(
     params = sample_affine_params(key, n, cfg)
     flip = params["flip"][:, None, None, None]
     x = jnp.where(flip, x[:, :, ::-1, :], x)
+    vflip = params["vflip"][:, None, None, None]
+    x = jnp.where(vflip, x[:, ::-1, :, :], x)
     x = jnp.clip(x * params["bright"][:, None, None, None], 0.0, 1.0)
     mats = inverse_affine_matrices(params, h, w)
     return warp_bilinear(x, mats)

@@ -286,6 +286,56 @@ def make_epoch_fn(
     return epoch
 
 
+class EpochSummary(NamedTuple):
+    loss_d: jax.Array       # epoch means
+    loss_g: jax.Array
+    acc_d: jax.Array
+    total_valid: jax.Array  # confusion accuracy over the epoch
+    trained_d: jax.Array
+    not_trained_d: jax.Array
+
+
+def make_multi_epoch_fn(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    n_epochs: int,
+    num_shards: int = 1,
+    axis_name: Optional[str] = None,
+    pool_size: Optional[int] = None,
+):
+    """Compile ``n_epochs`` epochs into ONE program: (state, rng, pools)
+    -> (state, stacked EpochSummary), where pools is (n_epochs, P, H, W,
+    C) uint8 — one fresh pool per epoch, as the reference reloads data
+    per epoch (train.lua:201). Per-epoch stats reset inside the scan, so
+    semantics match n_epochs sequential `make_epoch_fn` calls while host
+    synchronization cost is paid once per n_epochs (the production fast
+    path on high-latency-attach backends).
+    """
+    epoch = make_epoch_fn(g, d, cfg, num_shards, axis_name, pool_size)
+
+    def multi(state: GanState, rng: jax.Array, pools: jax.Array):
+        def body(carry, inp):
+            i, pool = inp
+            st, ms = epoch(carry, jax.random.fold_in(rng, i), pool)
+            summary = EpochSummary(
+                loss_d=jnp.mean(ms.loss_d),
+                loss_g=jnp.mean(ms.loss_g),
+                acc_d=jnp.mean(ms.acc_d),
+                total_valid=metrics.total_valid(st.confusion),
+                trained_d=st.trained_d,
+                not_trained_d=st.not_trained_d,
+            )
+            return reset_epoch_stats(st), summary
+
+        state, summaries = lax.scan(
+            body, state, (jnp.arange(n_epochs), pools)
+        )
+        return state, summaries
+
+    return multi
+
+
 def reset_epoch_stats(state: GanState) -> GanState:
     """Zero confusion + gate counters at epoch end (adversarial.lua:316)."""
     return state._replace(

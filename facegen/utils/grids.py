@@ -51,3 +51,34 @@ def save_png(path: str, image: np.ndarray) -> str:
 
 def save_grid(path: str, images, nrow: Optional[int] = None) -> str:
     return save_png(path, to_grid(np.asarray(images), nrow=nrow))
+
+
+def gaussian_blur(images, sigma: float = 0.25 * 3, kernel: int = 3):
+    """3x3 gaussian blur — sample.lua:219-222's `blur()` helper
+    (image.convolve with image.gaussian(3), 'same' padding). Accepts
+    (H, W, C) or (N, H, W, C) floats."""
+    import jax
+    import jax.numpy as jnp
+
+    single = np.ndim(images) == 3
+    x = jnp.asarray(images, jnp.float32)
+    if single:
+        x = x[None]
+    # torch image.gaussian(3): normalized gaussian, sigma = 0.25 * size
+    half = (kernel - 1) / 2.0
+    coords = jnp.arange(kernel, dtype=jnp.float32) - half
+    g1 = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    k2 = jnp.outer(g1, g1)
+    k2 = k2 / k2.max()  # torch default normalizes peak to 1...
+    k2 = k2 / k2.sum()  # ...then convolve normalizes by nothing; we keep
+    #                     unit-sum so brightness is preserved
+    c = x.shape[-1]
+    kern = jnp.zeros((kernel, kernel, c, c), jnp.float32)
+    for i in range(c):
+        kern = kern.at[:, :, i, i].set(k2)
+    pad = (kernel - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return np.asarray(y[0] if single else y)
