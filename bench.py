@@ -290,22 +290,26 @@ def _bench_gray(n_epoch: int = 1000, batch: int = 32):
     return n_epoch * 3 / (time.perf_counter() - t0)
 
 
-def _baseline_in_subprocess() -> float:
-    """Run the torch baseline in a child process: importing torch next
-    to the TPU tunnel client corrupts the backend (FailedPrecondition
-    on later fetches), so keep them in separate processes."""
+def _start_baseline_subprocess():
+    """Launch the torch baseline in a child process (importing torch
+    next to the TPU tunnel client corrupts the backend) and return the
+    Popen handle; it runs CONCURRENTLY with the TPU compile/measure."""
     import subprocess
 
-    out = subprocess.run(
+    return subprocess.Popen(
         [sys.executable, __file__, "--baseline-only"],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
-        timeout=600,
     )
-    for line in out.stdout.splitlines():
+
+
+def _join_baseline(proc) -> float:
+    out, err = proc.communicate(timeout=600)
+    for line in out.splitlines():
         if line.startswith("BASELINE_IPS="):
             return float(line.split("=", 1)[1])
-    raise RuntimeError(f"baseline subprocess failed: {out.stderr[-2000:]}")
+    raise RuntimeError(f"baseline subprocess failed: {err[-2000:]}")
 
 
 def main():
@@ -316,15 +320,16 @@ def main():
     if "--full" in sys.argv:
         full_suite()
         return
-    log("measuring Torch-CPU baseline (reference proxy) ...")
-    baseline_ips = _baseline_in_subprocess()
-    log(f"baseline: {baseline_ips:.1f} images/sec (torch CPU, batch 32)")
+    log("starting Torch-CPU baseline subprocess (runs concurrently) ...")
+    proc = _start_baseline_subprocess()
     log("measuring facegen on default JAX backend ...")
     import jax
 
     dev = jax.devices()[0]
     tpu_ips = bench_facegen_tpu()
     log(f"facegen: {tpu_ips:.1f} images/sec/chip on {dev.device_kind}")
+    baseline_ips = _join_baseline(proc)
+    log(f"baseline: {baseline_ips:.1f} images/sec (torch CPU, batch 32)")
     result = {
         "metric": "train_images_per_sec_per_chip_32x32",
         "value": round(tpu_ips, 1),
