@@ -39,10 +39,13 @@ def load_models(cfg: SampleConfig):
         jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim
     )
     name = (cfg.network or CKPT_NAME).rstrip("/")
+    name = os.path.basename(name)
+    if name.endswith(".net"):  # tolerate reference-style names
+        name = name[: -len(".net")]
     # restore only the model sub-bundle; training-only leaves (optimizer
     # moments, gate ring buffer) are irrelevant for sampling and may
     # have config-dependent shapes
-    bundle, meta = ckpt.load(cfg.save, os.path.basename(name), bundle)
+    bundle, meta = ckpt.load(cfg.save, name, bundle)
     return g, d, bundle, meta
 
 

@@ -112,9 +112,12 @@ class Trainer:
         self._log(f"<trainer> saved checkpoint to {path}")
 
     def resume(self, network: str):
-        """network may be a checkpoint dir path or a name under cfg.save."""
+        """network may be a checkpoint dir path or a name under cfg.save;
+        a reference-style `.net` suffix is tolerated."""
         directory, name = os.path.split(network.rstrip("/"))
         directory = directory or self.cfg.save
+        if name.endswith(".net"):
+            name = name[: -len(".net")]
         state, meta = ckpt.load(directory, name, self.state)
         self.state = state
         self._log(
