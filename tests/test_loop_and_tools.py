@@ -187,6 +187,22 @@ def test_sampler_end_to_end(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_trainer_with_denoise_hook(tmp_path):
+    """train.py --denoise path: train a denoiser first, then the GAN
+    trainer loads AE1_DECODER and dumps denoised sample grids
+    (train.lua:101-110 + nn_utils.lua:146-155)."""
+    from facegen.train.ae_loop import train_denoiser
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, n_epoch=32, batch_size=8, scale=16)
+    train_denoiser(cfg, epochs=1, verbose=False)
+    cfg2 = tiny_cfg(tmp_path, denoise=True)
+    tr = Trainer(cfg2, verbose=False)
+    assert tr.denoiser is not None
+    tr.train_epoch(0)
+    assert os.path.exists(os.path.join(cfg2.save, "viz", "samples_denoised.png"))
+
+
 def test_autoencoder_trains_and_loss_decreases(tmp_path):
     from facegen.train.ae_loop import train_autoencoder
 
