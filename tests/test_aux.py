@@ -67,6 +67,32 @@ def test_cli_rejects_odd_batch():
         train_config_from_args(["--batchSize", "7"])
 
 
+def test_dashboard_server(tmp_path):
+    import urllib.request
+
+    from facegen.utils.grids import save_png
+    from facegen.utils.profiling import MetricsLogger
+    from facegen.utils.viewer import serve
+
+    base = str(tmp_path)
+    MetricsLogger(base).log({"epoch": 1, "loss": 0.4})
+    save_png(os.path.join(base, "viz", "samples_fixed.png"),
+             np.zeros((8, 8, 1), np.float32))
+    httpd = serve(base, port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        page = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read().decode()
+        assert "samples_fixed.png" in page and "facegen" in page
+        img = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/img/samples_fixed.png").read()
+        assert img[:4] == b"\x89PNG"
+        metrics = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics").read())
+        assert metrics[0]["epoch"] == 1
+    finally:
+        httpd.shutdown()
+
+
 def test_accs_interval_formula():
     # train.lua:207: max(20, min(1000/batchSize, 250))
     assert TrainConfig(batch_size=32).accs_interval == 31
