@@ -103,6 +103,37 @@ def test_trainer_epoch_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_is_bit_exact(tmp_path):
+    """Training N epochs straight == training k, checkpointing,
+    restoring into a fresh Trainer, and training N-k more. Catches any
+    state not captured by the checkpoint (optimizer moments, gate ring,
+    BN stats, epoch counter)."""
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    cfg = tiny_cfg(tmp_path, noplot=True, save_freq=1000)
+    straight = Trainer(cfg, verbose=False)
+    straight.train_epoch(0)
+    straight.train_epoch(1)
+
+    cfg_a = tiny_cfg(tmp_path, noplot=True, save_freq=1000,
+                     save=str(tmp_path / "logs_b"))
+    part1 = Trainer(cfg_a, verbose=False)
+    part1.train_epoch(0)
+    part1.save()
+    cfg_b = tiny_cfg(tmp_path, noplot=True, save_freq=1000,
+                     save=str(tmp_path / "logs_b"), network=CKPT_NAME)
+    part2 = Trainer(cfg_b, verbose=False)
+    part2.train_epoch(1)  # same epoch_idx the straight run used
+
+    for a, b in zip(jax.tree.leaves(straight.state.params_g),
+                    jax.tree.leaves(part2.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(straight.state.opt_d),
+                    jax.tree.leaves(part2.state.opt_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(straight.state.epoch) == int(part2.state.epoch)
+
+
 def test_trainer_parallel_smoke(tmp_path):
     from facegen.parallel import make_mesh
     from facegen.train.loop import Trainer
