@@ -123,6 +123,55 @@ def build_torch_d32b(params, channels):
     return net
 
 
+def test_c2f_g_forward_matches_torch():
+    """Conditional refiner G_d: channel-concat head + 5-conv stack
+    (models_c2f.lua:113-145) vs an independent torch build."""
+    import torch.nn as nn
+
+    from facegen.models import c2f as c2f_models
+
+    channels, fs = 1, 16
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), fs, channels)
+    p = bundle["params_g"]["body"]
+
+    convs = [("00_conv1", 64, 3), ("02_conv2", 64, 3), ("04_conv3", 128, 5),
+             ("06_conv4", 256, 5), ("08_conv5", channels, 7)]
+    layers = []
+    in_c = channels + 1
+    for i, (key, out_c, k) in enumerate(convs):
+        layers.append(nn.Conv2d(in_c, out_c, k, padding=(k - 1) // 2))
+        if i < len(convs) - 1:
+            layers.append(nn.PReLU())
+        in_c = out_c
+    net = nn.Sequential(*layers)
+    with torch.no_grad():
+        t_idx = 0
+        for i, (key, out_c, k) in enumerate(convs):
+            # subpixel_conv(factor=1) stores its conv under "inner"
+            w = p[key]["inner"]["w"] if "inner" in p[key] else p[key]["w"]
+            b = p[key]["inner"]["b"] if "inner" in p[key] else p[key]["b"]
+            net[t_idx].weight.copy_(to_t(w).permute(3, 2, 0, 1))
+            net[t_idx].bias.copy_(to_t(b))
+            t_idx += 1
+            if i < len(convs) - 1:
+                prelu_key = f"{int(key[:2]) + 1:02d}_prelu"
+                net[t_idx].weight.copy_(to_t(bundle["params_g"]["body"][prelu_key]["a"]))
+                t_idx += 1
+    net.eval()
+
+    z = np.asarray(jax.random.uniform(jax.random.key(1), (2, fs, fs, 1),
+                                      jnp.float32, -1, 1))
+    cond = np.asarray(jax.random.uniform(jax.random.key(2), (2, fs, fs, channels),
+                                         jnp.float32))
+    ours, _ = g.apply(bundle["params_g"], bundle["state_g"],
+                      (jnp.asarray(z), jnp.asarray(cond)), Ctx(None, False))
+    joint = np.concatenate([z, cond], axis=-1)  # NHWC concat (noise first)
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(joint, (0, 3, 1, 2)))).numpy()
+    theirs = np.transpose(theirs, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-3)
+
+
 def test_d32b_forward_matches_torch():
     channels = 3
     d = gan.create_d32b(32, channels)
