@@ -103,6 +103,36 @@ def test_trainer_epoch_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_on_packed_store(tmp_path):
+    """Full path with a real packed dataset: fake LFW jpegs -> builder ->
+    make_source(dataset_dir) -> Trainer epoch (store gather + prefetch)."""
+    import numpy as np
+    from PIL import Image
+
+    from facegen.data import lfw
+    from facegen.data.pipeline import make_source
+    from facegen.train.loop import Trainer
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "lfw" / "Person_A"
+    d.mkdir(parents=True)
+    for i in range(24):
+        Image.fromarray(rng.randint(0, 256, (250, 250, 3)).astype(np.uint8)).save(
+            d / f"img_{i:04d}.jpg"
+        )
+    store_path = str(tmp_path / "packed.npy")
+    lfw.build_dataset(str(tmp_path / "lfw"), store_path)
+
+    cfg = tiny_cfg(tmp_path, synthetic_data=False, dataset_dir=store_path,
+                   noplot=True, n_epoch=16)
+    src = make_source(cfg)
+    assert src.store is not None and src.size == 24
+    tr = Trainer(cfg, source=src, verbose=False)
+    s1 = tr.train_epoch(0)
+    s2 = tr.train_epoch(1)  # second epoch consumes the host prefetch
+    assert np.isfinite(s1["loss_d_mean"]) and np.isfinite(s2["loss_d_mean"])
+
+
 def test_resume_is_bit_exact(tmp_path):
     """Training N epochs straight == training k, checkpointing,
     restoring into a fresh Trainer, and training N-k more. Catches any
