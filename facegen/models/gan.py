@@ -34,17 +34,38 @@ from facegen.nn import branches, init as winit, layers as L, sequential
 from facegen.nn.core import Module
 
 
-def _heur_conv(in_c: int, k: int) -> float:
-    """heuristic scheme scale for a conv (weight-init.lua:14-16,55)."""
-    return winit.heuristic(in_c * k * k, 0)
+def _scheme_fn(scheme: str):
+    """weight-init.lua:44-48's 'Unsupported regime' guard, with the
+    valid names in the message."""
+    try:
+        return winit.SCHEMES[scheme]
+    except KeyError:
+        raise ValueError(
+            f"unknown init scheme {scheme!r}; "
+            f"choose one of {sorted(winit.SCHEMES)}"
+        ) from None
 
 
-def _heur_dense(fan_in: int) -> float:
-    return winit.heuristic(fan_in, 0)
+def _conv_std(scheme: str, in_c: int, out_c: int, k: int) -> float:
+    """Scheme scale for a conv: fan_in = inC*kH*kW, fan_out = outC*kH*kW
+    (weight-init.lua:50-56)."""
+    return _scheme_fn(scheme)(in_c * k * k, out_c * k * k)
 
 
-def create_g(scale: int, channels: int, noise_dim: int) -> Module:
+def _dense_std(scheme: str, fan_in: int, fan_out: int) -> float:
+    """Scheme scale for a linear layer (weight-init.lua:58-64)."""
+    return _scheme_fn(scheme)(fan_in, fan_out)
+
+
+def create_g(
+    scale: int, channels: int, noise_dim: int, scheme: str = "heuristic"
+) -> Module:
     """G16/G32 dispatch (models.lua:87-93).
+
+    ``scheme`` selects the weight-init scale applied to every conv/linear
+    (weight-init.lua:40-75 dispatch: heuristic/xavier/xavier_caffe/
+    kaiming); the reference factory hardcodes 'heuristic' (models.lua:78).
+    Biases are zeroed afterwards by ``init_gan`` (weight-init.lua:70-72).
 
     The two pyramid stages (nearest-up x2 then 5x5 conv) are the hot op;
     see ops/pallas/upsample_conv.py for the fused kernel variant used by
@@ -56,16 +77,27 @@ def create_g(scale: int, channels: int, noise_dim: int) -> Module:
         s0 = scale // 4  # models.lua:59: Linear(noise, 128*8*8) at 32px
 
     return sequential(
-        L.dense(128 * s0 * s0, w_std=_heur_dense(noise_dim), name="fc"),
+        L.dense(
+            128 * s0 * s0,
+            w_std=_dense_std(scheme, noise_dim, 128 * s0 * s0),
+            name="fc",
+        ),
         L.reshape((s0, s0, 128)),
         L.prelu(),
-        L.upsample_conv(256, 5, 2, w_std=_heur_conv(128, 5), name="upconv1"),
+        L.upsample_conv(
+            256, 5, 2, w_std=_conv_std(scheme, 128, 256, 5), name="upconv1"
+        ),
         L.batch_norm(),
         L.prelu(),
-        L.upsample_conv(128, 5, 2, w_std=_heur_conv(256, 5), name="upconv2"),
+        L.upsample_conv(
+            128, 5, 2, w_std=_conv_std(scheme, 256, 128, 5), name="upconv2"
+        ),
         L.batch_norm(),
         L.prelu(),
-        L.conv2d(channels, 3, w_std=_heur_conv(128, 3), name="conv_out"),
+        L.conv2d(
+            channels, 3, w_std=_conv_std(scheme, 128, channels, 3),
+            name="conv_out",
+        ),
         L.sigmoid(),
         name="G",
     )
@@ -290,6 +322,7 @@ def init_gan(
     channels: int,
     noise_dim: int,
     reference_init: bool = True,
+    scheme: str = "heuristic",
 ) -> Tuple[Module, Module, dict]:
     """Create G and D with reference-parity initialization.
 
@@ -297,15 +330,22 @@ def init_gan(
     init inside the factories, then train.lua:137-138's gaussian
     overwrite of every layer (N(0,0.005^2) weights / N(0,0.001^2)
     biases — including PReLU slopes and BN gammas; SURVEY.md quirk b).
-    reference_init=False keeps the scheme/default init (the sane
-    "modern" option).
+    reference_init=False keeps the scheme init (the sane "modern"
+    option).
+
+    ``scheme`` dispatches weight-init.lua:40-75's four scale schemes on
+    G (the reference applies weight-init to G only, models.lua:78; D
+    keeps torch's default reset). G's biases are then zeroed, matching
+    weight-init.lua:70-72 — under reference_init=True the gaussian
+    overwrite replaces them anyway, preserving the published quirk.
 
     Returns (G, D, bundle) where bundle holds params/state for both.
     """
-    g = create_g(scale, channels, noise_dim)
+    g = create_g(scale, channels, noise_dim, scheme=scheme)
     d = create_d(scale, channels)
     kg, kd, kog, kod = jax.random.split(key, 4)
     params_g, state_g, out_g = g.init(kg, (noise_dim,))
+    params_g = winit.zero_biases(params_g)
     params_d, state_d, out_d = d.init(kd, (scale, scale, channels))
     assert out_g == (scale, scale, channels), out_g
     assert out_d == (1,), out_d

@@ -123,3 +123,31 @@ def test_g16_pyramid_starts_at_4():
     assert out == (16, 16, 1)
     # fc maps to 128*4*4 (models.lua:29)
     assert params["00_fc"]["w"].shape == (100, 128 * 4 * 4)
+
+
+@pytest.mark.parametrize("scheme,scale_fn", [
+    ("heuristic", lambda fi, fo: (1.0 / (3.0 * fi)) ** 0.5),
+    ("xavier", lambda fi, fo: (2.0 / (fi + fo)) ** 0.5),
+    ("xavier_caffe", lambda fi, fo: (1.0 / fi) ** 0.5),
+    ("kaiming", lambda fi, fo: (4.0 / (fi + fo)) ** 0.5),
+])
+def test_init_scheme_scales_and_zeroed_biases(scheme, scale_fn):
+    # weight-init.lua:40-75 dispatch + :70-72 bias zeroing. Weights are
+    # uniform(-stdv, stdv) => empirical max ~= stdv and std ~= stdv/sqrt(3).
+    g, d, bundle = gan.init_gan(jax.random.key(0), 32, 1, 100,
+                                reference_init=False, scheme=scheme)
+    pg = bundle["params_g"]
+    # fc: fan_in=100, fan_out=128*8*8 (weight-init.lua:58-64)
+    stdv = scale_fn(100, 128 * 8 * 8)
+    w = np.asarray(pg["00_fc"]["w"]).ravel()
+    assert abs(w.max() - stdv) / stdv < 0.02
+    assert abs(w.std() - stdv / np.sqrt(3.0)) / stdv < 0.05
+    # upconv1: conv fans use inC*k*k / outC*k*k (weight-init.lua:50-56)
+    stdv_c = scale_fn(128 * 25, 256 * 25)
+    wc = np.asarray(pg["03_upconv1"]["w"]).ravel()
+    assert abs(np.abs(wc).max() - stdv_c) / stdv_c < 0.02
+    # all G biases zeroed (weight-init.lua:70-72)
+    for layer in ("00_fc", "09_conv_out"):
+        assert float(np.abs(np.asarray(
+            jax.tree_util.tree_leaves({k: v for k, v in pg[layer].items()
+                                       if k == "b"})[0])).max()) == 0.0
