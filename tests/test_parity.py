@@ -1,0 +1,107 @@
+"""Quality-parity harness tests (facegen/eval/parity.py).
+
+Statistics are validated against closed forms; the report is exercised
+end-to-end on tiny fresh-initialized GANs (no training needed — the
+harness measures whatever checkpoints it is given).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegen.eval.parity import (
+    d_penultimate_features,
+    frechet_distance,
+    ks_2samp,
+    min_nn_distances,
+    parity_report,
+    self_report,
+    spearman,
+)
+from facegen.models import gan
+
+
+def test_spearman_perfect_and_inverted():
+    x = np.asarray([1.0, 3.0, 2.0, 5.0, 4.0])
+    assert spearman(x, x * 2.0 + 1.0) == pytest.approx(1.0)
+    assert spearman(x, -x) == pytest.approx(-1.0)
+    # monotone transform invariance
+    assert spearman(x, np.exp(x)) == pytest.approx(1.0)
+
+
+def test_ks_same_vs_shifted():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=800)
+    stat_same, p_same = ks_2samp(a, rng.normal(size=800))
+    stat_diff, p_diff = ks_2samp(a, rng.normal(3.0, 1.0, size=800))
+    assert stat_same < 0.1 and p_same > 0.05
+    assert stat_diff > 0.8 and p_diff < 1e-10
+
+
+def test_frechet_identical_is_zero_and_shift_is_mu_sq():
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(500, 8))
+    assert frechet_distance(f, f) == pytest.approx(0.0, abs=1e-6)
+    # pure mean shift of delta on every dim adds ~8 * delta^2
+    shifted = f + 0.5
+    d = frechet_distance(f, shifted)
+    assert d == pytest.approx(8 * 0.25, rel=0.05)
+
+
+def test_min_nn_distances_exact_tiny():
+    train = np.zeros((4, 2, 2, 1), np.float32)
+    train[1] += 1.0
+    q = np.full((1, 2, 2, 1), 0.25, np.float32)
+    d = min_nn_distances(q, train)
+    # closest is the all-zeros image: sqrt(4 * 0.25^2) = 0.5
+    assert d[0] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_d_features_shape_and_determinism():
+    g, d, b = gan.init_gan(jax.random.key(0), 16, 1, 16,
+                           reference_init=False)
+    imgs = np.asarray(
+        jax.random.uniform(jax.random.key(1), (5, 16, 16, 1)))
+    f1 = d_penultimate_features(d, b, imgs, batch=4)
+    f2 = d_penultimate_features(d, b, imgs, batch=8)
+    assert f1.shape[0] == 5 and f1.ndim == 2
+    # batching / padding must not change values
+    np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-5)
+
+
+def test_parity_report_end_to_end_and_self_consistency():
+    key = jax.random.key(0)
+    g_a, d_a, b_a = gan.init_gan(jax.random.key(1), 16, 1, 16,
+                                 reference_init=False)
+    g_b, d_b, b_b = gan.init_gan(jax.random.key(2), 16, 1, 16,
+                                 reference_init=False)
+    train = np.asarray(
+        jax.random.uniform(jax.random.key(3), (64, 16, 16, 1)))
+
+    rep = parity_report(g_a, d_a, b_a, g_b, d_b, b_b, train,
+                        n_samples=32, noise_dim_a=16, noise_dim_b=16,
+                        key=key, compute_dtype="float32")
+    assert set(rep) >= {"rank_correlation", "nn_distance",
+                        "frechet_d_features", "parity"}
+    assert -1.0 <= rep["rank_correlation"]["spearman_rho"] <= 1.0
+    assert 0.0 <= rep["nn_distance"]["ks_stat"] <= 1.0
+
+    # a checkpoint is parity with itself: rho == 1 (same D on the same
+    # pool), and NN-distance draws from the identical distribution
+    rep_aa = parity_report(g_a, d_a, b_a, g_a, d_a, b_a, train,
+                           n_samples=32, noise_dim_a=16, noise_dim_b=16,
+                           key=key, compute_dtype="float32")
+    assert rep_aa["rank_correlation"]["spearman_rho"] == pytest.approx(1.0)
+    assert rep_aa["parity"]["nn_parity"]
+
+
+def test_self_report_fields():
+    g, d, b = gan.init_gan(jax.random.key(0), 16, 1, 16,
+                           reference_init=False)
+    train = np.asarray(
+        jax.random.uniform(jax.random.key(3), (48, 16, 16, 1)))
+    rep = self_report(g, d, b, train, n_samples=16, noise_dim=16,
+                      compute_dtype="float32")
+    assert rep["nn_distance"]["mean"] > 0
+    assert np.isfinite(rep["frechet_vs_real"])
