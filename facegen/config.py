@@ -45,7 +45,8 @@ class TrainConfig:
     g_optmethod: str = "adam"     # --G_optmethod
     threads: int = 8              # --threads (host-side decode workers here)
     noise_dim: int = 100          # --noiseDim
-    window: int = 3               # --window (viz window id; PNG prefix here)
+    window: int = 3               # --window: viz window id base (train.lua:44);
+    #                               non-default ids prefix viz PNGs with w{id}_
     scale: int = 32               # --scale (16 or 32)
     seed: int = 1                 # --seed
     weights_vis_freq: int = 0     # --weightsVisFreq

@@ -71,6 +71,7 @@ class DataSource:
     synthetic: bool = False
     augment: bool = True
     holdout: int = 0  # first `holdout` rows reserved (validation, c2f)
+    threads: int = 8  # host gather threads (--threads, train.lua:66)
 
     @property
     def size(self) -> int:
@@ -88,7 +89,8 @@ class DataSource:
         )
         from facegen import native
 
-        return native.gather_rows(np.asarray(self.store), idx)
+        return native.gather_rows(np.asarray(self.store), idx,
+                                  n_threads=self.threads)
 
     def raw_batch(self, key: jax.Array, n: int) -> jax.Array:
         """(n, 64, 64, 3) uint8 on device, pre-augmentation."""
@@ -145,7 +147,13 @@ class Prefetcher:
     def schedule(self, key) -> None:
         if self.source.synthetic or self.source.store is None:
             return  # nothing host-side to overlap
-        assert self._thread is None, "previous prefetch not consumed"
+        if self._thread is not None:
+            # A previous epoch failed between schedule() and get() (or
+            # get() was never called): drain the stale gather rather than
+            # leaking the thread / asserting on the next epoch.
+            self._thread.join()
+            self._thread = None
+            self._result = None
         k_sel, _ = jax.random.split(key)
         self._thread = self._threading.Thread(
             target=self._host_gather, args=(k_sel,), daemon=True
@@ -171,8 +179,10 @@ def make_source(cfg, holdout: int = 0) -> DataSource:
     mirrors train.lua:166-173)."""
     from facegen.data import lfw
 
+    threads = int(getattr(cfg, "threads", 8))
     if cfg.synthetic_data:
-        return DataSource(cfg.scale, cfg.channels, synthetic=True, holdout=holdout)
+        return DataSource(cfg.scale, cfg.channels, synthetic=True,
+                          holdout=holdout, threads=threads)
     path = lfw.default_store_path(cfg.aws, cfg.dataset_dir)
     import os
 
@@ -182,4 +192,5 @@ def make_source(cfg, holdout: int = 0) -> DataSource:
             "`python -m facegen.data.lfw --path=/path/to/lfw` or pass "
             "--syntheticData"
         )
-    return DataSource(cfg.scale, cfg.channels, store=lfw.load_store(path), holdout=holdout)
+    return DataSource(cfg.scale, cfg.channels, store=lfw.load_store(path),
+                      holdout=holdout, threads=threads)

@@ -368,17 +368,19 @@ def upsample_conv(
     return stateless(name, init_params, apply_fn)
 
 
-_ON_TPU: Optional[bool] = None
-
-
 def _on_tpu() -> bool:
-    global _ON_TPU
-    if _ON_TPU is None:
-        try:
-            _ON_TPU = jax.devices()[0].platform == "tpu"
-        except Exception:
-            _ON_TPU = False
-    return _ON_TPU
+    """Whether traces will target the TPU backend.
+
+    Evaluated live (no process-lifetime cache): `jax.default_backend()`
+    is itself memoized per backend state, so this stays cheap while
+    following runtime platform switches — a process that touched a CPU
+    backend first must still enable the Pallas path once it targets TPU
+    (and vice versa).
+    """
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def flatten(name: str = "flatten") -> Module:

@@ -151,6 +151,7 @@ class Trainer:
             report = visualize_progress(
                 self.inf, self.bundle(), self.fixed_noise, pool, out_dir,
                 k_viz, denoiser=self.denoiser, epoch=int(self.state.epoch),
+                window=cfg.window,
             )
             self._log(
                 f"<viz> probe ranks/300: real={report['real_probe_rank']} "
@@ -170,6 +171,9 @@ class Trainer:
             with trace(cfg.trace_dir):
                 self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
                 loss_d_sum = _sync(ms.loss_d)
+        elif cfg.weights_vis_freq > 0 and self.mesh is None:
+            ms = self._segmented_epoch(k_epoch, pool, n_steps)
+            loss_d_sum = _sync(ms.loss_d)
         else:
             self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
             loss_d_sum = _sync(ms.loss_d)  # forces completion
@@ -196,17 +200,11 @@ class Trainer:
             "trained_d": trained,
             "not_trained_d": not_trained,
         }
-        if cfg.weights_vis_freq > 0:
-            # reference: D activation windows every weightsVisFreq
-            # batches (adversarial.lua:296-299); with the whole epoch
-            # compiled we dump once per epoch instead.
-            from facegen.utils.netvis import visualize_network
-
-            probe = pool[: min(4, pool.shape[0])].astype(jnp.float32) / 255.0
-            visualize_network(
-                self.d, self.state.params_d, self.state.state_d, probe,
-                os.path.join(cfg.save, "viz", "netvis"), key=k_viz,
-            )
+        if cfg.weights_vis_freq > 0 and self.mesh is not None:
+            # On a mesh the epoch stays one shard_mapped program; dump
+            # once per epoch (the single-chip path dumps at the true
+            # batch cadence via _segmented_epoch).
+            self._netvis_dump(pool, k_viz, n_steps)
 
         self.state = reset_epoch_stats(self.state)
         self.metrics_log.log(stats)
@@ -214,6 +212,51 @@ class Trainer:
         if (int(self.state.epoch) - 1) % self.cfg.save_freq == 0:
             self.save()
         return stats
+
+    def _segmented_epoch(self, rng, pool, n_steps: int):
+        """Run one epoch as weights_vis_freq-sized segments, dumping D
+        activation grids at each boundary (adversarial.lua:296-299's
+        per-batch cadence). rng folding is by global step index, so the
+        math matches the single-scan epoch (same RNG stream)."""
+        import jax.numpy as jnp
+
+        from facegen.train.step import make_segment_fn
+
+        if not hasattr(self, "_segment_fn"):
+            self._segment_fn = jax.jit(make_segment_fn(self.g, self.d, self.cfg))
+        freq = self.cfg.weights_vis_freq
+        ms_parts = []
+        done = 0
+        while done < n_steps:
+            seg = min(freq, n_steps - done)
+            self.state, ms = self._segment_fn(
+                self.state, rng, pool, jnp.arange(done, done + seg)
+            )
+            ms_parts.append(ms)
+            done += seg
+            self._netvis_dump(pool, jax.random.fold_in(rng, 77), done)
+        self.state = self.state._replace(epoch=self.state.epoch + 1)
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *ms_parts)
+
+    def _netvis_dump(self, pool, key, step_idx: int):
+        """Activation-grid dump (visualizeNetwork, adversarial.lua:348-406).
+
+        The reference dumps D's top-level layer outputs; like it, nested
+        branch layers are not descended into (SURVEY.md quirk b) — which
+        leaves the 16px D16d with nothing at top level, so we dump G's
+        pyramid too (always conv-bearing at top level)."""
+        import jax.numpy as jnp
+
+        from facegen.utils.netvis import visualize_network
+
+        out_dir = os.path.join(self.cfg.save, "viz", "netvis",
+                               f"e{int(self.state.epoch):04d}_s{step_idx:05d}")
+        probe = pool[: min(4, pool.shape[0])].astype(jnp.float32) / 255.0
+        visualize_network(self.d, self.state.params_d, self.state.state_d,
+                          probe, out_dir, key=key)
+        noise = self.fixed_noise[: probe.shape[0]]
+        visualize_network(self.g, self.state.params_g, self.state.state_g,
+                          noise, os.path.join(out_dir, "g"), key=key)
 
     def run(self, epochs: Optional[int] = None):
         """The `while true` loop (train.lua:199-208); epochs=None runs

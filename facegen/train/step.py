@@ -286,6 +286,38 @@ def make_epoch_fn(
     return epoch
 
 
+def make_segment_fn(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    num_shards: int = 1,
+    axis_name: Optional[str] = None,
+):
+    """Build ``segment(state, rng, pool, offsets) -> (state, StepMetrics)``
+    — a scan over an arbitrary contiguous slice of an epoch's steps.
+
+    ``offsets`` are the global step indices (e.g. jnp.arange(4, 8)); rng
+    folding is by global index, so running an epoch as consecutive
+    segments reproduces `make_epoch_fn`'s math exactly (same
+    RNG stream; bit-level may differ across differently-fused programs). This restores the
+    reference's `weightsVisFreq` semantics (adversarial.lua:296-299:
+    activation dumps every N *batches*) under whole-epoch compilation:
+    the driver splits the epoch at the dump boundaries and pays at most
+    two compiles (full segment + remainder). The epoch counter is NOT
+    advanced — the caller increments it after the last segment.
+    """
+    step = make_train_step(g, d, cfg, num_shards, axis_name)
+
+    def segment(state: GanState, rng: jax.Array, pool: jax.Array,
+                offsets: jax.Array):
+        def body(carry, i):
+            return step(carry, jax.random.fold_in(rng, i), pool)
+
+        return lax.scan(body, state, offsets, unroll=2)
+
+    return segment
+
+
 class EpochSummary(NamedTuple):
     loss_d: jax.Array       # epoch means
     loss_g: jax.Array

@@ -39,15 +39,23 @@ def visualize_progress(
     key: jax.Array,
     denoiser=None,
     epoch: Optional[int] = None,
+    window: int = 3,
 ) -> dict:
+    """``window`` is the reference's display-window id base (--window,
+    train.lua:44): the PNG analogue prefixes filenames with ``w{id}_``
+    for non-default ids, so concurrent runs pointed at the same viz dir
+    don't overwrite each other — the same isolation the browser window
+    ids give. The default id (3) keeps the canonical filenames."""
     os.makedirs(out_dir, exist_ok=True)
+    prefix = "" if window == 3 else f"w{window}_"
+    path = lambda name: os.path.join(out_dir, prefix + name)
     k_rand, k_sanity = jax.random.split(key)
 
     fixed = inf.generate(bundle, fixed_noise)
-    grids.save_grid(os.path.join(out_dir, "samples_fixed.png"), np.asarray(fixed))
+    grids.save_grid(path("samples_fixed.png"), np.asarray(fixed))
     if denoiser is not None:
         den = denoiser(fixed)
-        grids.save_grid(os.path.join(out_dir, "samples_denoised.png"), np.asarray(den))
+        grids.save_grid(path("samples_denoised.png"), np.asarray(den))
 
     # 300 randoms with planted probes (nn_utils.lua:178-183)
     randoms = inf.generate_n(bundle, k_rand, 300)
@@ -60,12 +68,12 @@ def visualize_progress(
     order_desc = np.argsort(-scores)
     best = np.asarray(randoms)[order_desc[:50]]
     worst = np.asarray(randoms)[order_desc[::-1][:50]]
-    grids.save_grid(os.path.join(out_dir, "best50.png"), best)
-    grids.save_grid(os.path.join(out_dir, "worst50.png"), worst)
+    grids.save_grid(path("best50.png"), best)
+    grids.save_grid(path("worst50.png"), worst)
 
     n_real = min(100, train_pool.shape[0])
     real100 = np.asarray(train_pool[:n_real], np.float32) / 255.0
-    grids.save_grid(os.path.join(out_dir, "real100.png"), real100)
+    grids.save_grid(path("real100.png"), real100)
 
     # probe ranks (0 = judged most real of the 300)
     rank_of = {int(i): r for r, i in enumerate(order_desc)}

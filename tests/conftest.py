@@ -18,6 +18,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's cost is dominated by
+# compiles of epoch-sized lax.scan programs; caching them across test
+# processes/runs cuts repeat wall-clock by an order of magnitude.
+_cache_dir = os.environ.get(
+    "FACEGEN_TEST_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

@@ -98,3 +98,42 @@ def test_accs_interval_formula():
     assert TrainConfig(batch_size=32).accs_interval == 31
     assert TrainConfig(batch_size=4).accs_interval == 250
     assert TrainConfig(batch_size=100).accs_interval == 20
+
+
+def test_prefetcher_tolerates_unconsumed_schedule(tmp_path):
+    """A failed epoch between schedule() and get() must not poison the
+    next schedule() (VERDICT r1 weak #7)."""
+    import numpy as np
+
+    from facegen.data.pipeline import DataSource, Prefetcher
+
+    store = np.random.RandomState(0).randint(
+        0, 256, (32, 64, 64, 3)).astype(np.uint8)
+    src = DataSource(16, 1, store=store, threads=2)
+    pf = Prefetcher(src, 8)
+    pf.schedule(jax.random.key(0))
+    # epoch "fails" here: get() never called; next schedule must drain
+    pf.schedule(jax.random.key(1))
+    pool = pf.get(jax.random.key(2))
+    assert pool.shape == (8, 16, 16, 1)
+
+
+def test_viz_window_prefix(tmp_path):
+    from facegen.models import gan
+    from facegen.utils.infer import GanInference
+    from facegen.utils.viz import visualize_progress
+
+    g, d, bundle = gan.init_gan(jax.random.key(0), 16, 1, 8,
+                                reference_init=False)
+    inf = GanInference(g, d, 8, "float32")
+    pool = jax.random.randint(jax.random.key(1), (4, 16, 16, 1), 0, 256,
+                              jnp.uint8)
+    noise = inf.noise(jax.random.key(2), 4)
+    visualize_progress(inf, bundle, noise, pool, str(tmp_path),
+                       jax.random.key(3), window=7)
+    assert os.path.exists(os.path.join(str(tmp_path), "w7_samples_fixed.png"))
+    assert not os.path.exists(os.path.join(str(tmp_path), "samples_fixed.png"))
+    # default window keeps canonical names
+    visualize_progress(inf, bundle, noise, pool, str(tmp_path),
+                       jax.random.key(3), window=3)
+    assert os.path.exists(os.path.join(str(tmp_path), "samples_fixed.png"))

@@ -16,8 +16,8 @@ from facegen.nn.core import Ctx
 
 def tiny_cfg(tmp_path=None, **kw):
     base = dict(
-        batch_size=8, coarse_size=8, fine_size=16, grayscale=True,
-        n_epoch=32, compute_dtype="float32", synthetic_data=True,
+        batch_size=8, coarse_size=4, fine_size=8, grayscale=True,
+        n_epoch=16, compute_dtype="float32", synthetic_data=True,
         seed=3, save_freq=1, epochs=1, val_size=16, parzen_samples=8,
     )
     if tmp_path is not None:
@@ -107,7 +107,9 @@ def test_parzen_distances_reasonable():
     cfg = tiny_cfg()
     g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size, 1)
     parzen = make_parzen_fn(g, cfg, nneighbors=4)
-    fine = jax.random.randint(jax.random.key(1), (16, 16, 16, 1), 0, 256, jnp.uint8)
+    fine = jax.random.randint(jax.random.key(1),
+                           (16, cfg.fine_size, cfg.fine_size, 1), 0, 256,
+                           jnp.uint8)
     pool = make_triples(fine, cfg.coarse_size)
     dists = parzen(bundle["params_g"], bundle["state_g"], jax.random.key(2), pool)
     assert dists.shape == (cfg.parzen_samples,)
@@ -130,7 +132,8 @@ def test_refine_c2f_shapes():
 
     cfg = tiny_cfg()
     g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size, 1)
-    coarse_imgs = jax.random.uniform(jax.random.key(1), (3, 8, 8, 1))
+    coarse_imgs = jax.random.uniform(
+        jax.random.key(1), (3, cfg.coarse_size, cfg.coarse_size, 1))
     out = refine_c2f(cfg, bundle, coarse_imgs, jax.random.key(2), tries=4)
-    assert out.shape == (3, 16, 16, 1)
+    assert out.shape == (3, cfg.fine_size, cfg.fine_size, 1)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0

@@ -26,7 +26,7 @@ COMBOS = [
 @pytest.mark.parametrize("kw,name", COMBOS, ids=[c[1] for c in COMBOS])
 def test_step_runs_for_config(kw, name):
     base = dict(batch_size=8, scale=16, grayscale=True, noise_dim=16,
-                n_epoch=16, compute_dtype="float32", reference_init=False)
+                n_epoch=8, compute_dtype="float32", reference_init=False)
     base.update(kw)
     cfg = TrainConfig(**base).validate()
     g, d, bundle = gan.init_gan(

@@ -18,7 +18,7 @@ from facegen.utils.infer import GanInference, nearest_neighbours, sanity_image
 
 def tiny_cfg(tmp_path, **kw):
     base = dict(
-        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=32,
+        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=8,
         compute_dtype="float32", reference_init=False, synthetic_data=True,
         save=str(tmp_path / "logs"), save_freq=1, noplot=False, epochs=1,
     )
@@ -294,3 +294,34 @@ def test_denoise_hook_loads_ae1_decoder(tmp_path):
     y = fn(x)
     assert y.shape == (2, 16, 16, 1)
     assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_weights_vis_freq_batch_cadence(tmp_path):
+    """weightsVisFreq > 0 dumps activation grids every N batches
+    (adversarial.lua:296-299), and the segmented epoch follows the same
+    math/RNG stream as the single-scan epoch: per-step metrics match
+    (params drift at float-noise level through BN sensitivity across
+    differently-fused programs, so the contract is on the metrics)."""
+    from facegen.train.loop import Trainer
+
+    # 16 examples / (batch 8 advancing by 4) = 4 steps; freq 2 -> 2 dumps
+    cfg = tiny_cfg(tmp_path, n_epoch=16, noplot=True, weights_vis_freq=2)
+    tr = Trainer(cfg, verbose=False)
+    s1 = tr.train_epoch(0)
+    netvis_root = os.path.join(cfg.save, "viz", "netvis")
+    dumps = sorted(os.listdir(netvis_root))
+    assert dumps == ["e0001_s00002", "e0001_s00004"]
+    # D16d has no top-level conv/linear >=150 outputs (reference quirk:
+    # nested branch layers are not descended into), but G's pyramid dumps
+    assert any(f.endswith(".png") for f in os.listdir(
+        os.path.join(netvis_root, dumps[0], "g")))
+
+    cfg2 = tiny_cfg(tmp_path, n_epoch=16, noplot=True,
+                    save=str(tmp_path / "logs_ref"))
+    tr2 = Trainer(cfg2, verbose=False)
+    s2 = tr2.train_epoch(0)
+    assert s1["trained_d"] == s2["trained_d"]
+    assert s1["not_trained_d"] == s2["not_trained_d"]
+    np.testing.assert_allclose(s1["loss_d_mean"], s2["loss_d_mean"], rtol=1e-4)
+    np.testing.assert_allclose(s1["loss_g_mean"], s2["loss_g_mean"], rtol=1e-4)
+    assert int(tr.state.epoch) == int(tr2.state.epoch)

@@ -20,7 +20,7 @@ def test_multi_epoch_matches_sequential():
         compute_dtype="float32", reference_init=False,
     ).validate()
     g, d, bundle = gan.init_gan(jax.random.key(0), 16, 1, 16, reference_init=False)
-    k = 3
+    k = 2
     pools = jax.random.randint(
         jax.random.key(1), (k, 32, 16, 16, 1), 0, 256, jnp.uint8
     )

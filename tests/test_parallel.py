@@ -25,7 +25,7 @@ def tiny_cfg(**kw):
         scale=16,
         grayscale=True,
         noise_dim=16,
-        n_epoch=64,
+        n_epoch=32,
         compute_dtype="float32",
         reference_init=False,
     )

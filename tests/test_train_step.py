@@ -30,7 +30,7 @@ def tiny_cfg(**kw):
         scale=16,
         grayscale=True,
         noise_dim=16,
-        n_epoch=32,
+        n_epoch=16,
         compute_dtype="float32",
         reference_init=False,
         seed=3,
@@ -152,7 +152,7 @@ def test_confusion_matrix():
 
 
 def test_epoch_scan_runs_and_improves_d():
-    cfg = tiny_cfg(n_epoch=64)
+    cfg = tiny_cfg(n_epoch=32)
     g, d, state, pool = setup(cfg)
     epoch = jax.jit(make_epoch_fn(g, d, cfg))
     state2, ms = epoch(state, jax.random.key(1), pool)
