@@ -1,0 +1,50 @@
+# facegen — TPU-native face-generator framework.
+#
+# `make demo-lfw LFW_DIR=/path/to/lfw` is the full real-data workflow
+# (README.md:49-54 of the reference): raw LFW tree -> packed uint8 store
+# -> 500-epoch GAN run -> sample grids -> quality report. Each stage is
+# also callable on its own. With no LFW tree available, `make demo`
+# runs the identical pipeline on the procedural synthetic dataset.
+
+LFW_DIR   ?= dataset/lfw
+STORE     ?= dataset/lfw64.npy
+SAVE      ?= logs
+SAMPLES   ?= samples
+EPOCHS    ?= 500
+SCALE     ?= 32
+BATCH     ?= 32
+PY        ?= python
+
+.PHONY: demo-lfw demo dataset train sample report test quick-test bench
+
+dataset:
+	$(PY) -m facegen.data.lfw --path=$(LFW_DIR) --out=$(STORE)
+
+train:
+	$(PY) train.py --scale $(SCALE) --batchSize $(BATCH) --epochs $(EPOCHS) \
+	    --save $(SAVE) --datasetDir $(STORE) --D_L1 0 --D_L2 0 --D_iterations 2
+
+sample:
+	$(PY) sample.py --save_base $(SAVE) --scale $(SCALE) --writeto $(SAMPLES) \
+	    --neighbours --runs 2
+
+report:
+	$(PY) -m facegen.eval.parity --network_a $(SAVE)/adversarial \
+	    --scale $(SCALE) --data $(STORE) --n 1024 --out $(SAVE)/parity.json
+
+demo-lfw: dataset train sample report
+	@echo "demo-lfw complete: checkpoints in $(SAVE)/, grids in $(SAMPLES)/, quality report in $(SAVE)/parity.json"
+
+# identical pipeline, procedural data (no LFW needed)
+demo:
+	$(PY) train.py --scale $(SCALE) --batchSize $(BATCH) --epochs $(EPOCHS) \
+	    --save $(SAVE) --syntheticData --D_L1 0 --D_L2 0 --D_iterations 2
+	$(PY) sample.py --save_base $(SAVE) --scale $(SCALE) --writeto $(SAMPLES) --runs 2
+	$(PY) -m facegen.eval.parity --network_a $(SAVE)/adversarial \
+	    --scale $(SCALE) --synthetic --n 1024 --out $(SAVE)/parity.json
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py

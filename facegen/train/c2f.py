@@ -350,6 +350,11 @@ class C2FTrainer:
         while n is None or i < n:
             yield self.train_epoch(i)
             i += 1
+        # bounded runs must not exit unsaved (see Trainer.run)
+        if n is not None and (int(self.state.epoch) - 1) % self.cfg.save_freq != 0:
+            ckpt.save(self.cfg.save, ckpt_name(self.cfg), self.state,
+                      meta={"epoch": int(self.state.epoch),
+                            **ckpt.config_meta(self.cfg)})
 
     def _log(self, msg):
         if self.verbose:

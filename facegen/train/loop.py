@@ -260,7 +260,9 @@ class Trainer:
 
     def run(self, epochs: Optional[int] = None):
         """The `while true` loop (train.lua:199-208); epochs=None runs
-        forever like the reference."""
+        forever like the reference. A finite run checkpoints once more at
+        the end (the reference only saves every saveFreq epochs because
+        it never terminates; a bounded run must not exit unsaved)."""
         n = epochs if epochs is not None else (
             self.cfg.epochs if self.cfg.epochs > 0 else None
         )
@@ -268,6 +270,8 @@ class Trainer:
         while n is None or i < n:
             yield self.train_epoch(i)
             i += 1
+        if n is not None and (int(self.state.epoch) - 1) % self.cfg.save_freq != 0:
+            self.save()
 
     def _log(self, msg: str):
         if self.verbose:
