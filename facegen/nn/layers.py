@@ -352,35 +352,13 @@ def upsample_conv(
     def apply_fn(params, x, ctx):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
-        # Inference on TPU at batch >= 64 takes the Pallas kernel (wins
-        # when the op stands alone, e.g. 1024-image sampling). Training
-        # always uses the XLA phase conv: measured end-to-end, XLA's
-        # fusion of the neighbouring BN/PReLU into the conv beats the
-        # hand kernel at every batch size (12.9k vs 13.3k img/s at
-        # batch 128) — the Pallas fwd/bwd kernels remain available in
-        # ops/pallas/upsample_conv.py with parity tests.
-        if factor == 2 and not ctx.train and x.shape[0] >= 64 and _on_tpu():
-            from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
-
-            return upsample_conv_pallas(x, w, b)
+        # Always the XLA phase conv: dispatch-amortized measurement
+        # (docs/KERNELS.md) showed it matches or beats the Pallas kernel
+        # at every training and inference shape once per-call latency is
+        # excluded, so no runtime dispatch is carried here.
         return fused(x, w, b, factor)
 
     return stateless(name, init_params, apply_fn)
-
-
-def _on_tpu() -> bool:
-    """Whether traces will target the TPU backend.
-
-    Evaluated live (no process-lifetime cache): `jax.default_backend()`
-    is itself memoized per backend state, so this stays cheap while
-    following runtime platform switches — a process that touched a CPU
-    backend first must still enable the Pallas path once it targets TPU
-    (and vice versa).
-    """
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
 
 
 def flatten(name: str = "flatten") -> Module:

@@ -13,10 +13,14 @@ accumulated in fp32 — applied to different operands:
             dW = collapse^T(dWc); db = sum(dy).
 
 Per grid step one batch-tile of activations lives entirely in VMEM; no
-upsampled intermediate and no im2col buffer ever touch HBM. These
-engage for batch >= ops.upsample_conv._PALLAS_MIN_BATCH (below that the
-XLA phase conv fuses better with neighbours); `interpret=True` runs on
-CPU for tests (pallas_guide.md: Interpreter Mode).
+upsampled intermediate and no im2col buffer ever touch HBM.
+
+STATUS: parity-tested kernel library, NOT on the product path. Round-2
+dispatch-amortized benchmarks (docs/KERNELS.md) showed the XLA phase
+conv (ops/upsample_conv.py) matching or beating these kernels at every
+shape the models use once per-call dispatch latency is amortized, so
+the runtime dispatch that selected them was removed. `interpret=True`
+runs on CPU for tests (pallas_guide.md: Interpreter Mode).
 """
 
 from __future__ import annotations

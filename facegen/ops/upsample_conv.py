@@ -100,52 +100,12 @@ def upsample_conv(x: jax.Array, w: jax.Array, b: jax.Array, factor: int = 2) -> 
     return y + b.astype(x.dtype)
 
 
-@jax.custom_vjp
-def upsample_conv_opt(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """upsample_conv(factor=2) with a Pallas forward on TPU and an
-    explicit backward built by `jax.linear_transpose` — the op is
-    bilinear in (x, w), so the VJP needs no forward recompute."""
-    return upsample_conv(x, w, b, 2)
-
-
-_PALLAS_MIN_BATCH = 64  # below this the XLA phase conv wins (fusion with
-                        # neighbours beats the kernel's VMEM residency)
-
-
-def _opt_fwd(x, w, b):
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu and x.shape[0] >= _PALLAS_MIN_BATCH:
-        from facegen.ops.pallas.upsample_conv import upsample_conv_pallas
-
-        y = upsample_conv_pallas(x, w, b)
-    else:
-        y = upsample_conv(x, w, b, 2)
-    return y, (x, w)
-
-
-def _opt_bwd(res, dy):
-    x, w = res
-    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu and x.shape[0] >= _PALLAS_MIN_BATCH:
-        from facegen.ops.pallas.upsample_conv import (
-            upsample_conv_dw_pallas,
-            upsample_conv_dx_pallas,
-        )
-
-        dx = upsample_conv_dx_pallas(dy, w)
-        dw = upsample_conv_dw_pallas(x, dy, kernel=w.shape[0]).astype(w.dtype)
-        return dx, dw, db
-    zero_b = jnp.zeros((w.shape[-1],), dy.dtype)
-    dx = jax.linear_transpose(lambda xx: upsample_conv(xx, w, zero_b, 2), x)(dy)[0]
-    dw = jax.linear_transpose(lambda ww: upsample_conv(x, ww, zero_b, 2), w)(dy)[0]
-    return dx, dw, db
-
-
-upsample_conv_opt.defvjp(_opt_fwd, _opt_bwd)
+# NOTE on the Pallas variant (facegen/ops/pallas/upsample_conv.py):
+# round-2 dispatch-amortized measurements (lax.scan over 100-200 calls,
+# TPU v5e; see docs/KERNELS.md for the full table) showed the XLA phase
+# conv above matching or beating the hand kernel at every training
+# shape — e.g. fwd+bwd at batch 128, 8x8x128->16x16x256: 341us XLA vs
+# 651us Pallas — so the product path uses this op unconditionally. The
+# round-1 per-call timings that favored Pallas were dominated by ~700us
+# of per-dispatch tunnel latency, not kernel time. The Pallas kernels
+# remain parity-tested as the documented kernel-engineering playbook.

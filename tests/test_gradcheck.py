@@ -1,8 +1,8 @@
 """Finite-difference gradient checks for the hand-written pieces
 (SURVEY.md section 4: 'gradient via jax.grad against finite
 differences'). Autodiff through plain XLA ops needs no checking; these
-target our custom structures: the fused upsample-conv custom VJP, the
-subpixel reshape, PReLU's shared slope, and batch-norm train mode."""
+target our custom structures: the phase-collapsed fused upsample-conv,
+the subpixel reshape, PReLU's shared slope, and batch-norm train mode."""
 
 import jax
 import jax.numpy as jnp
@@ -26,35 +26,35 @@ def fd_grad(f, x, eps=1e-3):
     return g
 
 
-def test_upsample_conv_opt_fd_weights():
-    from facegen.ops.upsample_conv import upsample_conv_opt
+def test_upsample_conv_fd_weights():
+    from facegen.ops.upsample_conv import upsample_conv
 
     x = jax.random.normal(jax.random.key(0), (1, 3, 3, 2), jnp.float32)
     w0 = jax.random.normal(jax.random.key(1), (5, 5, 2, 2), jnp.float32) * 0.3
     b = jnp.zeros((2,))
 
     def f(w):
-        return float(jnp.sum(jnp.tanh(upsample_conv_opt(x, w, b))))
+        return float(jnp.sum(jnp.tanh(upsample_conv(x, w, b))))
 
     g_auto = np.asarray(jax.grad(
-        lambda w: jnp.sum(jnp.tanh(upsample_conv_opt(x, w, b)))
+        lambda w: jnp.sum(jnp.tanh(upsample_conv(x, w, b)))
     )(w0))
     g_fd = fd_grad(f, w0)
     np.testing.assert_allclose(g_auto, g_fd, rtol=2e-2, atol=2e-3)
 
 
-def test_upsample_conv_opt_fd_input():
-    from facegen.ops.upsample_conv import upsample_conv_opt
+def test_upsample_conv_fd_input():
+    from facegen.ops.upsample_conv import upsample_conv
 
     x0 = jax.random.normal(jax.random.key(0), (1, 2, 2, 3), jnp.float32)
     w = jax.random.normal(jax.random.key(1), (5, 5, 3, 2), jnp.float32) * 0.3
     b = jnp.ones((2,)) * 0.1
 
     def f(x):
-        return float(jnp.sum(jnp.sin(upsample_conv_opt(x, w, b))))
+        return float(jnp.sum(jnp.sin(upsample_conv(x, w, b))))
 
     g_auto = np.asarray(jax.grad(
-        lambda x: jnp.sum(jnp.sin(upsample_conv_opt(x, w, b)))
+        lambda x: jnp.sum(jnp.sin(upsample_conv(x, w, b)))
     )(x0))
     g_fd = fd_grad(f, x0)
     np.testing.assert_allclose(g_auto, g_fd, rtol=2e-2, atol=2e-3)

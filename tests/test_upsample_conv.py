@@ -80,24 +80,28 @@ def test_depth_to_space_phase_order():
     )
 
 
-def test_custom_vjp_grads_match_autodiff():
-    from facegen.ops.upsample_conv import upsample_conv_opt
-
+def test_linear_transpose_grads_match_autodiff():
+    # the op is bilinear in (x, w): its VJP via jax.linear_transpose must
+    # equal plain autodiff — pins the gradient structure the Pallas
+    # backward kernels are tested against below.
     kx, kw, kb = jax.random.split(jax.random.key(3), 3)
     x = jax.random.normal(kx, (2, 4, 4, 6), jnp.float32)
     w = jax.random.normal(kw, (5, 5, 6, 3), jnp.float32) * 0.1
     b = jax.random.normal(kb, (3,), jnp.float32)
 
-    def loss_opt(x_, w_, b_):
-        return jnp.sum(upsample_conv_opt(x_, w_, b_) ** 2)
-
-    def loss_ref(x_, w_, b_):
+    def loss(x_, w_, b_):
         return jnp.sum(upsample_conv(x_, w_, b_) ** 2)
 
-    go = jax.grad(loss_opt, argnums=(0, 1, 2))(x, w, b)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
-    for a, r in zip(go, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-5)
+    gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    y = upsample_conv(x, w, b)
+    dy = 2.0 * y
+    zero_b = jnp.zeros((3,), jnp.float32)
+    gx_t = jax.linear_transpose(lambda xx: upsample_conv(xx, w, zero_b), x)(dy)[0]
+    gw_t = jax.linear_transpose(lambda ww: upsample_conv(x, ww, zero_b), w)(dy)[0]
+    gb_t = jnp.sum(dy, axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_t), np.asarray(gb), rtol=1e-4, atol=1e-5)
 
 
 def test_pallas_kernel_matches_fused():
