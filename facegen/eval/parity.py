@@ -274,6 +274,90 @@ def parity_report(
     }
 
 
+def sample_report(
+    g_a: Module, d_a: Module, bundle_a: dict,
+    samples_b,
+    train_images=None,
+    n_samples: Optional[int] = None,
+    noise_dim: int = 100,
+    key: Optional[jax.Array] = None,
+    compute_dtype: str = "bfloat16",
+    label_a: str = "ours",
+    label_b: str = "reference",
+) -> Dict:
+    """Compare our generator against a RAW sample population (no second
+    checkpoint) — e.g. the reference repo's published grid images
+    (images/color_random1024.jpg, sliced by facegen/eval/refgrid.py).
+
+    Cross-framework statistics that need only one discriminator:
+    - D-score distribution KS: D_a scores both populations; identical
+      generators give identical score distributions (the population
+      statistic behind sample.lua:84-89's ranking).
+    - Fréchet distance in D_a's penultimate features, A-vs-B (and each
+      vs real when ``train_images`` is provided).
+    - NN-distance distribution KS vs the shared training set (only with
+      ``train_images``; the reference grids were trained on LFW, so
+      this is apples-to-apples only once the same dataset is packed).
+    - per-channel pixel moments, as a cheap sanity row.
+    """
+    key = jax.random.key(0) if key is None else key
+    sb = np.asarray(samples_b, np.float32)
+    if sb.max() > 1.5:
+        sb = sb / 255.0
+    n = int(n_samples or sb.shape[0])
+    inf_a = GanInference(g_a, d_a, noise_dim, compute_dtype)
+    sa = np.asarray(inf_a.generate_n(bundle_a, key, n))
+
+    scores_a = np.asarray(inf_a.score(bundle_a, jnp.asarray(sa)))
+    scores_b = np.asarray(inf_a.score(bundle_a, jnp.asarray(sb)))
+    ks_score, ks_score_p = ks_2samp(scores_a, scores_b)
+
+    feats_a = d_penultimate_features(d_a, bundle_a, sa,
+                                     compute_dtype=compute_dtype)
+    feats_b = d_penultimate_features(d_a, bundle_a, sb,
+                                     compute_dtype=compute_dtype)
+    report: Dict = {
+        "n_samples": {label_a: int(sa.shape[0]), label_b: int(sb.shape[0])},
+        "labels": [label_a, label_b],
+        "d_score": {
+            f"mean_{label_a}": float(scores_a.mean()),
+            f"mean_{label_b}": float(scores_b.mean()),
+            "ks_stat": ks_score,
+            "ks_pvalue": ks_score_p,
+        },
+        "frechet_d_features": {f"{label_a}_vs_{label_b}":
+                               frechet_distance(feats_a, feats_b)},
+        "pixel_moments": {
+            f"mean_{label_a}": [float(v) for v in sa.mean(axis=(0, 1, 2))],
+            f"mean_{label_b}": [float(v) for v in sb.mean(axis=(0, 1, 2))],
+            f"std_{label_a}": [float(v) for v in sa.std(axis=(0, 1, 2))],
+            f"std_{label_b}": [float(v) for v in sb.std(axis=(0, 1, 2))],
+        },
+    }
+    if train_images is not None:
+        train_np = np.asarray(train_images, np.float32)
+        if train_np.max() > 1.5:
+            train_np = train_np / 255.0
+        df = prepare_nn_dataset(train_np)
+        nn_a = min_nn_distances(sa, df)
+        nn_b = min_nn_distances(sb, df)
+        ks_stat, ks_p = ks_2samp(nn_a, nn_b)
+        report["nn_distance"] = {
+            f"mean_{label_a}": float(nn_a.mean()),
+            f"mean_{label_b}": float(nn_b.mean()),
+            "ks_stat": ks_stat,
+            "ks_pvalue": ks_p,
+        }
+        n_real = min(n, train_np.shape[0])
+        feats_real = d_penultimate_features(d_a, bundle_a, train_np[:n_real],
+                                            compute_dtype=compute_dtype)
+        report["frechet_d_features"][f"{label_a}_vs_real"] = (
+            frechet_distance(feats_a, feats_real))
+        report["frechet_d_features"][f"{label_b}_vs_real"] = (
+            frechet_distance(feats_b, feats_real))
+    return report
+
+
 def self_report(
     g: Module, d: Module, bundle: dict, train_images,
     n_samples: int = 1024, noise_dim: int = 100,
@@ -352,6 +436,16 @@ def main(argv=None):
                    help="checkpoint A as dir/name (e.g. logs/adversarial)")
     p.add_argument("--network_b", default=None,
                    help="checkpoint B; omit for a single-checkpoint report")
+    p.add_argument("--samples_b", default=None,
+                   help="grid image of raw samples to compare against "
+                        "(e.g. the reference repo's images/"
+                        "color_random1024.jpg), sliced at --tile px")
+    p.add_argument("--tile", type=int, default=32,
+                   help="tile size when slicing --samples_b")
+    p.add_argument("--no_train_set", action="store_true",
+                   help="with --samples_b: skip train-set statistics "
+                        "(use when the raw samples came from a different "
+                        "training distribution)")
     p.add_argument("--scale", type=int, default=32)
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
@@ -368,10 +462,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     channels = 1 if args.grayscale else 3
-    train_images = _load_train_images(args)
+    train_images = None if (args.samples_b and args.no_train_set) else (
+        _load_train_images(args))
     g_a, d_a, bundle_a, _ = _load_gan(args.network_a, args.scale, channels,
                                       args.noise_dim)
-    if args.network_b:
+    if args.samples_b:
+        from facegen.eval.refgrid import load_grid
+
+        samples_b = load_grid(args.samples_b, args.tile,
+                              grayscale=args.grayscale)
+        report = sample_report(
+            g_a, d_a, bundle_a, samples_b, train_images,
+            n_samples=args.n, noise_dim=args.noise_dim,
+            key=jax.random.key(args.seed),
+        )
+    elif args.network_b:
         g_b, d_b, bundle_b, _ = _load_gan(args.network_b, args.scale,
                                           channels, args.noise_dim)
         report = parity_report(

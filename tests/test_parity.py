@@ -96,6 +96,46 @@ def test_parity_report_end_to_end_and_self_consistency():
     assert rep_aa["parity"]["nn_parity"]
 
 
+def test_slice_grid_roundtrip_and_order():
+    from facegen.eval.refgrid import slice_grid
+
+    # build a 2x3 grid of 4px tiles with distinct constant values in [0,1]
+    vals = np.arange(6, dtype=np.float32) / 10.0
+    tiles = np.broadcast_to(vals.reshape(6, 1, 1, 1), (6, 4, 4, 3))
+    grid = tiles.reshape(2, 3, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    grid = grid.reshape(8, 12, 3)
+    out = slice_grid(grid, tile=4)
+    assert out.shape == (6, 4, 4, 3)
+    # row-major order preserved
+    np.testing.assert_allclose(out[:, 0, 0, 0], vals)
+    # uint8 input rescales to [0,1]
+    out8 = slice_grid((grid * 400).astype(np.uint8), tile=4)
+    assert out8.max() <= 1.0
+    with pytest.raises(ValueError):
+        slice_grid(grid, tile=5)
+
+
+def test_sample_report_against_raw_population():
+    from facegen.eval.parity import sample_report
+
+    g, d, b = gan.init_gan(jax.random.key(0), 16, 1, 16,
+                           reference_init=False)
+    train = np.asarray(
+        jax.random.uniform(jax.random.key(3), (48, 16, 16, 1)))
+    raw = np.asarray(jax.random.uniform(jax.random.key(4), (32, 16, 16, 1)))
+    rep = sample_report(g, d, b, raw, train, n_samples=24, noise_dim=16,
+                        compute_dtype="float32")
+    assert rep["n_samples"] == {"ours": 24, "reference": 32}
+    assert 0.0 <= rep["d_score"]["ks_stat"] <= 1.0
+    assert np.isfinite(rep["frechet_d_features"]["ours_vs_reference"])
+    assert "nn_distance" in rep and "ours_vs_real" in rep["frechet_d_features"]
+    # without a train set the train-relative stats are omitted
+    rep2 = sample_report(g, d, b, raw, None, n_samples=8, noise_dim=16,
+                         compute_dtype="float32")
+    assert "nn_distance" not in rep2
+    assert list(rep2["frechet_d_features"]) == ["ours_vs_reference"]
+
+
 def test_self_report_fields():
     g, d, b = gan.init_gan(jax.random.key(0), 16, 1, 16,
                            reference_init=False)
