@@ -25,6 +25,9 @@ _cache_dir = os.environ.get(
     "FACEGEN_TEST_CACHE",
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
+# facegen/__init__ installs its own persistent cache dir on import; point
+# it at the same place so a later `import facegen` can't redirect it.
+os.environ["FACEGEN_CACHE_DIR"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
