@@ -32,7 +32,7 @@ def test_export_from_checkpoint_cli_path(tmp_path):
     from facegen.train.loop import Trainer
 
     cfg = TrainConfig(
-        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=16,
+        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=8,
         compute_dtype="float32", reference_init=False, synthetic_data=True,
         save=str(tmp_path / "logs"), noplot=True,
     ).validate()

@@ -124,7 +124,7 @@ def test_trainer_on_packed_store(tmp_path):
     lfw.build_dataset(str(tmp_path / "lfw"), store_path)
 
     cfg = tiny_cfg(tmp_path, synthetic_data=False, dataset_dir=store_path,
-                   noplot=True, n_epoch=16)
+                   noplot=True, n_epoch=8)
     src = make_source(cfg)
     assert src.store is not None and src.size == 24
     tr = Trainer(cfg, source=src, verbose=False)
@@ -255,7 +255,7 @@ def test_trainer_with_denoise_hook(tmp_path):
     from facegen.train.ae_loop import train_denoiser
     from facegen.train.loop import Trainer
 
-    cfg = tiny_cfg(tmp_path, n_epoch=32, batch_size=8, scale=16)
+    cfg = tiny_cfg(tmp_path, n_epoch=16, batch_size=8, scale=16)
     train_denoiser(cfg, epochs=1, verbose=False)
     cfg2 = tiny_cfg(tmp_path, denoise=True)
     tr = Trainer(cfg2, verbose=False)
@@ -304,19 +304,19 @@ def test_weights_vis_freq_batch_cadence(tmp_path):
     differently-fused programs, so the contract is on the metrics)."""
     from facegen.train.loop import Trainer
 
-    # 16 examples / (batch 8 advancing by 4) = 4 steps; freq 2 -> 2 dumps
-    cfg = tiny_cfg(tmp_path, n_epoch=16, noplot=True, weights_vis_freq=2)
+    # 8 examples / (batch 8 advancing by 4) = 2 steps; freq 1 -> 2 dumps
+    cfg = tiny_cfg(tmp_path, n_epoch=8, noplot=True, weights_vis_freq=1)
     tr = Trainer(cfg, verbose=False)
     s1 = tr.train_epoch(0)
     netvis_root = os.path.join(cfg.save, "viz", "netvis")
     dumps = sorted(os.listdir(netvis_root))
-    assert dumps == ["e0001_s00002", "e0001_s00004"]
+    assert dumps == ["e0001_s00001", "e0001_s00002"]
     # D16d has no top-level conv/linear >=150 outputs (reference quirk:
     # nested branch layers are not descended into), but G's pyramid dumps
     assert any(f.endswith(".png") for f in os.listdir(
         os.path.join(netvis_root, dumps[0], "g")))
 
-    cfg2 = tiny_cfg(tmp_path, n_epoch=16, noplot=True,
+    cfg2 = tiny_cfg(tmp_path, n_epoch=8, noplot=True,
                     save=str(tmp_path / "logs_ref"))
     tr2 = Trainer(cfg2, verbose=False)
     s2 = tr2.train_epoch(0)

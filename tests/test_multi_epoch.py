@@ -15,14 +15,20 @@ from facegen.train.step import (
 
 
 def test_multi_epoch_matches_sequential():
+    # SGD, not adam: the contract is trajectory equivalence between two
+    # differently-fused programs, and adam's m/sqrt(v) normalization
+    # amplifies float-noise-level gradient differences into full-lr sign
+    # flips on near-zero-gradient coordinates (BN biases), making strict
+    # param comparison meaningless under it.
     cfg = TrainConfig(
-        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=16,
+        batch_size=8, scale=16, grayscale=True, noise_dim=16, n_epoch=8,
         compute_dtype="float32", reference_init=False,
+        d_optmethod="sgd", g_optmethod="sgd",
     ).validate()
     g, d, bundle = gan.init_gan(jax.random.key(0), 16, 1, 16, reference_init=False)
     k = 2
     pools = jax.random.randint(
-        jax.random.key(1), (k, 32, 16, 16, 1), 0, 256, jnp.uint8
+        jax.random.key(1), (k, 16, 16, 16, 1), 0, 256, jnp.uint8
     )
 
     # sequential reference

@@ -152,7 +152,7 @@ def test_confusion_matrix():
 
 
 def test_epoch_scan_runs_and_improves_d():
-    cfg = tiny_cfg(n_epoch=32)
+    cfg = tiny_cfg(n_epoch=16)
     g, d, state, pool = setup(cfg)
     epoch = jax.jit(make_epoch_fn(g, d, cfg))
     state2, ms = epoch(state, jax.random.key(1), pool)
@@ -167,7 +167,7 @@ def test_epoch_scan_runs_and_improves_d():
 
 
 def test_epoch_deterministic_same_seed():
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(n_epoch=8)
     g, d, state, pool = setup(cfg)
     epoch = jax.jit(make_epoch_fn(g, d, cfg))
     s1, m1 = epoch(state, jax.random.key(5), pool)
