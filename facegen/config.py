@@ -244,7 +244,9 @@ def train_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--computeDtype", type=str, default="bfloat16",
                    dest="compute_dtype", choices=["bfloat16", "float32"])
     p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
-                   help="comma-separated data-parallel mesh, -1 = all devices")
+                   help="device mesh: 'N' = N-way data-parallel shard_map "
+                        "(-1 = all devices); 'DP,MP' = 2-D data x model "
+                        "GSPMD mesh (parallel/gspmd.py)")
     p.add_argument("--epochs", type=int, default=-1,
                    help="number of epochs to run (-1 = forever)")
     _add_bool(p, "--modernInit", False, "disable reference gaussian-overwrite init")

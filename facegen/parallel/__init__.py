@@ -6,3 +6,12 @@ from facegen.parallel.mesh import (  # noqa: F401
     replicate,
     shard_pool,
 )
+from facegen.parallel.gspmd import (  # noqa: F401
+    MODEL_AXIS,
+    make_gspmd_epoch,
+    make_gspmd_step,
+    make_mesh2d,
+    shard_pool_2d,
+    shard_state,
+    state_shardings,
+)

@@ -1,0 +1,162 @@
+"""2-D mesh (data x model) training via GSPMD sharding annotations.
+
+The second of the framework's two parallelism modes (SURVEY.md section
+2.3 — the reference itself is strictly single-device, train.lua:79):
+
+- `mesh.py` (1-D "data"): explicit SPMD with `jax.shard_map` — per-chip
+  local batches, psum-mean gradients, pmean'd BN stats. Local-batch
+  semantics, lowest communication.
+- this module (2-D "data" x "model"): the pjit/GSPMD recipe — annotate
+  the shardings of params/opt-state/data over a `jax.sharding.Mesh` and
+  let XLA propagate them and insert the collectives (all-gather /
+  reduce-scatter / psum over ICI). The compiled program has EXACT
+  single-device global-batch semantics: same RNG stream, same global
+  batch-norm statistics, same updates — scaling out changes where the
+  FLOPs run, not the math.
+
+Sharding rule (by leaf shape, applied to params AND their optimizer
+moments):
+
+- dense kernels (fan_in, fan_out): column-parallel P(None, "model")
+  when fan_out divides; else row-parallel P("model", None) when fan_in
+  divides (XLA inserts the psum for the contracted dim); else
+  replicated. D32b's 2048x512 / 512x512 stacks and G's noise->128*s*s
+  projection are the leaves this targets.
+- conv kernels (K, K, Cin, Cout): output-channel parallel
+  P(None, None, None, "model") when Cout divides — G's 5x5 pyramid
+  convs (128->256, 256->128) and D's 3x3 stacks.
+- everything else (biases, PReLU slopes, BN affine/stats, gate ring,
+  scalars): replicated.
+
+At this model scale (G 2.5M + D 2.9M params) model sharding is about
+capability, not need — the layout exists so the same factory scales to
+model sizes where it is needed, and it is exercised by the multichip
+dryrun and the virtual-mesh test suite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facegen.config import TrainConfig
+from facegen.nn.core import Module
+from facegen.train.step import GanState, make_epoch_fn, make_train_step
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh2d(dp: int, mp: int, devices=None) -> Mesh:
+    """(dp x mp) mesh with axes ("data", "model")."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    if dp * mp > len(devices):
+        raise ValueError(
+            f"mesh ({dp}, {mp}) needs {dp * mp} devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.asarray(devices[: dp * mp]).reshape(dp, mp),
+        (DATA_AXIS, MODEL_AXIS),
+    )
+
+
+def _leaf_spec(leaf, mp: int, min_shard: int = 64) -> P:
+    """Shape-based sharding rule; also matches optimizer moments, which
+    mirror the parameter shapes."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) == 2:
+        if shape[1] % mp == 0 and shape[1] >= min_shard:
+            return P(None, MODEL_AXIS)
+        if shape[0] % mp == 0 and shape[0] >= min_shard:
+            return P(MODEL_AXIS, None)
+    elif len(shape) == 4:
+        if shape[3] % mp == 0 and shape[3] >= min_shard:
+            return P(None, None, None, MODEL_AXIS)
+    return P()
+
+
+def state_shardings(state: GanState, mesh: Mesh, min_shard: int = 64):
+    """NamedSharding pytree for a GanState under the 2-D mesh."""
+    mp = mesh.shape[MODEL_AXIS]
+
+    def spec_of(leaf):
+        return NamedSharding(mesh, _leaf_spec(leaf, mp, min_shard))
+
+    return jax.tree.map(spec_of, state)
+
+
+def shard_state(state: GanState, mesh: Mesh, min_shard: int = 64) -> GanState:
+    """Place a GanState on the mesh per the sharding rule."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        state,
+        state_shardings(state, mesh, min_shard),
+    )
+
+
+def shard_pool_2d(pool: jax.Array, mesh: Mesh) -> jax.Array:
+    """Shard the epoch pool's batch dim over "data" (replicated over
+    "model")."""
+    n = mesh.shape[DATA_AXIS]
+    usable = (pool.shape[0] // n) * n
+    return jax.device_put(pool[:usable], NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def _noise_sharding(mesh: Mesh) -> NamedSharding:
+    """Constraint for internally generated noise batches: shard the
+    batch axis over "data". Besides being the right layout, this works
+    around a partitioner miscompilation (jax 0.9, GSPMD and Shardy):
+    with the noise left replicated on a mesh where BOTH axes are
+    non-trivial, conv weight gradients downstream come out scaled by
+    exactly dp (minimal repro in tests/test_parallel.py docstrings;
+    dense/matmul gradients unaffected, single-axis meshes unaffected)."""
+    return NamedSharding(mesh, P(DATA_AXIS, None))
+
+
+def make_gspmd_epoch(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    state: GanState,
+    pool_size: Optional[int] = None,
+):
+    """jit the single-device whole-epoch program with in/out shardings
+    over the 2-D mesh; GSPMD inserts all collectives. Numerically the
+    SAME program as the single-chip `make_epoch_fn` (global batch,
+    global BN stats, one RNG stream)."""
+    sh_state = state_shardings(state, mesh)
+    repl = NamedSharding(mesh, P())
+    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    epoch = make_epoch_fn(g, d, cfg, pool_size=pool_size,
+                          noise_sharding=_noise_sharding(mesh))
+    return jax.jit(
+        epoch,
+        in_shardings=(sh_state, repl, pool_sh),
+        out_shardings=(sh_state, repl),
+    )
+
+
+def make_gspmd_step(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    state: GanState,
+):
+    """Single train step under the 2-D mesh (the multichip dryrun's
+    tensor-parallel validation path)."""
+    sh_state = state_shardings(state, mesh)
+    repl = NamedSharding(mesh, P())
+    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    step = make_train_step(g, d, cfg, noise_sharding=_noise_sharding(mesh))
+    return jax.jit(
+        step,
+        in_shardings=(sh_state, repl, pool_sh),
+        out_shardings=(sh_state, repl),
+    )

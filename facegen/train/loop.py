@@ -70,7 +70,15 @@ class Trainer:
 
         pool_n = cfg.n_epoch if cfg.n_epoch > 0 else self.source.size
         self.pool_n = pool_n
-        if mesh is not None:
+        if mesh is not None and "model" in mesh.axis_names:
+            # 2-D (data x model) GSPMD mesh: sharded params/opt state,
+            # exact global-batch semantics (parallel/gspmd.py)
+            from facegen.parallel import make_gspmd_epoch, shard_state
+
+            self.state = shard_state(self.state, mesh)
+            self.epoch_fn = make_gspmd_epoch(self.g, self.d, cfg, mesh,
+                                             self.state, pool_size=pool_n)
+        elif mesh is not None:
             from facegen.parallel import make_parallel_epoch, replicate
 
             self.state = replicate(self.state, mesh)
@@ -141,7 +149,11 @@ class Trainer:
         # overlap the NEXT epoch's pool build with this epoch's training
         next_key = jax.random.fold_in(jax.random.key(cfg.seed), 10_001 + epoch_idx)
         self.prefetcher.schedule(jax.random.split(next_key, 3)[0])
-        if self.mesh is not None:
+        if self.mesh is not None and "model" in self.mesh.axis_names:
+            from facegen.parallel import shard_pool_2d
+
+            pool = shard_pool_2d(pool, self.mesh)
+        elif self.mesh is not None:
             from facegen.parallel import shard_pool
 
             pool = shard_pool(pool, self.mesh)
@@ -284,9 +296,14 @@ def main(argv=None):
     cfg = train_config_from_args(argv)
     mesh = None
     if len(jax.devices()) > 1:
-        from facegen.parallel import make_mesh
+        if len(cfg.mesh_shape) == 2 and cfg.mesh_shape[1] > 1:
+            from facegen.parallel import make_mesh2d
 
-        mesh = make_mesh(cfg.mesh_shape)
+            mesh = make_mesh2d(*cfg.mesh_shape)
+        else:
+            from facegen.parallel import make_mesh
+
+            mesh = make_mesh(cfg.mesh_shape[:1])
     trainer = Trainer(cfg, mesh=mesh)
     print(f"Number of free parameters in D: "
           f"{sum(l.size for l in jax.tree.leaves(trainer.state.params_d))}")

@@ -120,6 +120,7 @@ def make_train_step(
     cfg: TrainConfig,
     num_shards: int = 1,
     axis_name: Optional[str] = None,
+    noise_sharding=None,
 ):
     """Build ``step(state, rng, pool) -> (state, StepMetrics)``.
 
@@ -127,6 +128,16 @@ def make_train_step(
     HBM-resident equivalent of TRAIN_DATA (train.lua:201). uint8 keeps
     HBM footprint minimal; the cast to compute dtype happens on-chip at
     batch-gather time.
+
+    ``noise_sharding``: optional NamedSharding applied (via
+    with_sharding_constraint) to the internally generated noise batches.
+    Required on a 2-D GSPMD mesh (parallel/gspmd.py): without it the
+    partitioner leaves the noise -> G chain replicated over the data
+    axis and MISCOMPILES the conv weight gradients to dp * their true
+    value (reproduced on jax 0.9 CPU with both the GSPMD and Shardy
+    partitioners whenever both mesh axes are non-trivial; dense/matmul
+    gradients are unaffected). Sharding the batch axis explicitly both
+    avoids the bug and is the layout you want anyway.
     """
     assert cfg.batch_size % (2 * num_shards) == 0, (
         "global batch must split evenly into half-real/half-fake per shard"
@@ -138,11 +149,18 @@ def make_train_step(
     dtype = jnp.dtype(cfg.compute_dtype)
     k_ring = cfg.accs_interval
 
+    def _constrain(z):
+        if noise_sharding is None:
+            return z
+        return lax.with_sharding_constraint(z, noise_sharding)
+
     def d_iteration(state: GanState, rng: jax.Array, pool: jax.Array):
         k_idx, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
         idx = jax.random.randint(k_idx, (half,), 0, pool.shape[0])
         real = pool[idx].astype(dtype) / jnp.asarray(255.0, dtype)
-        noise = jax.random.uniform(k_noise, (half, cfg.noise_dim), dtype, -1.0, 1.0)
+        noise = _constrain(
+            jax.random.uniform(k_noise, (half, cfg.noise_dim), dtype, -1.0, 1.0)
+        )
         # G forward in train mode: BN running stats update, like
         # createImages under net:training() (adversarial.lua:252).
         fake, state_g = g.apply(state.params_g, state.state_g, noise, Ctx(k_gen, True))
@@ -206,7 +224,9 @@ def make_train_step(
 
     def g_iteration(state: GanState, rng: jax.Array):
         k_noise, k_gen, k_drop = jax.random.split(rng, 3)
-        noise = jax.random.uniform(k_noise, (local_bs, cfg.noise_dim), dtype, -1.0, 1.0)
+        noise = _constrain(
+            jax.random.uniform(k_noise, (local_bs, cfg.noise_dim), dtype, -1.0, 1.0)
+        )
         targets = jnp.ones((local_bs,), jnp.float32)  # Y_NOT_GENERATOR
 
         def loss_fn(params_g):
@@ -262,6 +282,7 @@ def make_epoch_fn(
     num_shards: int = 1,
     axis_name: Optional[str] = None,
     pool_size: Optional[int] = None,
+    noise_sharding=None,
 ):
     """Build ``epoch(state, rng, pool) -> (state, stacked StepMetrics)``
     — one `lax.scan` over all steps of an epoch, jit- or shard_map-ready.
@@ -269,7 +290,7 @@ def make_epoch_fn(
     The confusion matrix and D-trained counters accumulate across the
     epoch; the caller prints and resets them (adversarial.lua:302-316).
     """
-    step = make_train_step(g, d, cfg, num_shards, axis_name)
+    step = make_train_step(g, d, cfg, num_shards, axis_name, noise_sharding)
     n_steps = steps_per_epoch(cfg, pool_size)
 
     def epoch(state: GanState, rng: jax.Array, pool: jax.Array):

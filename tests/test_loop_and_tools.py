@@ -175,6 +175,21 @@ def test_trainer_parallel_smoke(tmp_path):
     assert np.isfinite(stats["loss_d_mean"])
 
 
+def test_trainer_gspmd_2d_mesh_smoke(tmp_path):
+    # --meshShape 4,2 path: params sharded on the model axis, pool on data
+    import jax as _jax
+
+    from facegen.parallel import make_mesh2d
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, batch_size=16, noplot=True)
+    tr = Trainer(cfg, mesh=make_mesh2d(4, 2), verbose=False)
+    w = tr.state.params_g["03_upconv1"]["w"]
+    assert w.sharding.spec == _jax.sharding.PartitionSpec(None, None, None, "model")
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+
+
 # ---------------------------------------------------------------------------
 # inference utils
 # ---------------------------------------------------------------------------
