@@ -161,6 +161,7 @@ class C2FConfig:
     epochs: int = -1
     val_size: int = 500    # VAL_DATA = loadImages(0, 500) (train_c2f.lua:218)
     parzen_samples: int = 200
+    mesh_shape: Tuple[int, ...] = (-1,)  # 'DP[,MP]' GSPMD mesh (parallel/gspmd.py)
 
     @property
     def channels(self) -> int:

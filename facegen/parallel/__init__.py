@@ -8,9 +8,11 @@ from facegen.parallel.mesh import (  # noqa: F401
 )
 from facegen.parallel.gspmd import (  # noqa: F401
     MODEL_AXIS,
+    make_gspmd_c2f_epoch,
     make_gspmd_epoch,
     make_gspmd_step,
     make_mesh2d,
+    mesh2d_from_shape,
     shard_pool_2d,
     shard_state,
     state_shardings,

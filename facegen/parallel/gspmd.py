@@ -65,6 +65,18 @@ def make_mesh2d(dp: int, mp: int, devices=None) -> Mesh:
     )
 
 
+def mesh2d_from_shape(shape: Sequence[int]) -> Optional[Mesh]:
+    """Resolve a --meshShape tuple ('DP' or 'DP,MP'; -1 = all devices)
+    into a 2-D GSPMD mesh, or None when only one device is available."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    shape = tuple(shape)
+    mp = shape[1] if len(shape) == 2 else 1
+    dp = n // mp if shape[0] == -1 else shape[0]
+    return make_mesh2d(dp, mp)
+
+
 def _leaf_spec(leaf, mp: int, min_shard: int = 64) -> P:
     """Shape-based sharding rule; also matches optimizer moments, which
     mirror the parameter shapes."""
@@ -99,12 +111,19 @@ def shard_state(state: GanState, mesh: Mesh, min_shard: int = 64) -> GanState:
     )
 
 
-def shard_pool_2d(pool: jax.Array, mesh: Mesh) -> jax.Array:
-    """Shard the epoch pool's batch dim over "data" (replicated over
-    "model")."""
+def shard_pool_2d(pool, mesh: Mesh):
+    """Shard an epoch pool's batch dim over "data" (replicated over
+    "model"). Accepts a single array or a pytree of batched arrays
+    (e.g. `C2FPool`): every array leaf is sharded on its leading dim,
+    truncated to a multiple of the data-axis size."""
     n = mesh.shape[DATA_AXIS]
-    usable = (pool.shape[0] // n) * n
-    return jax.device_put(pool[:usable], NamedSharding(mesh, P(DATA_AXIS)))
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        usable = (x.shape[0] // n) * n
+        return jax.device_put(x[:usable], sh)
+
+    return jax.tree.map(put, pool)
 
 
 def _noise_sharding(mesh: Mesh) -> NamedSharding:
@@ -135,6 +154,34 @@ def make_gspmd_epoch(
     pool_sh = NamedSharding(mesh, P(DATA_AXIS))
     epoch = make_epoch_fn(g, d, cfg, pool_size=pool_size,
                           noise_sharding=_noise_sharding(mesh))
+    return jax.jit(
+        epoch,
+        in_shardings=(sh_state, repl, pool_sh),
+        out_shardings=(sh_state, repl),
+    )
+
+
+def make_gspmd_c2f_epoch(
+    g: Module,
+    d: Module,
+    cfg,
+    mesh: Mesh,
+    state,
+    pool_size: Optional[int] = None,
+):
+    """c2f refinement-GAN whole-epoch program under the 2-D mesh — same
+    recipe as `make_gspmd_epoch`: the single-device epoch
+    (facegen/train/c2f.py) jitted with in/out shardings, image-shaped
+    noise constrained onto the data axis (see `_noise_sharding`).
+    `state` is a C2FState, pools are C2FPool pytrees (both fields
+    batch-sharded on "data")."""
+    from facegen.train.c2f import make_epoch_fn as make_c2f_epoch_fn
+
+    sh_state = state_shardings(state, mesh)
+    repl = NamedSharding(mesh, P())
+    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    epoch = make_c2f_epoch_fn(g, d, cfg, pool_size=pool_size,
+                              noise_sharding=_noise_sharding(mesh))
     return jax.jit(
         epoch,
         in_shardings=(sh_state, repl, pool_sh),

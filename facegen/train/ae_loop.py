@@ -42,12 +42,40 @@ def _shuffled_batches(key, n_pool, batch):
     return perm.reshape(n_batches, batch)
 
 
+def _gspmd_jit(epoch, mesh, n_state_args: int):
+    """jit an epoch fn whose signature is (*state_pytrees, rng, pool)
+    -> (*state_pytrees, losses) with GSPMD shardings over `mesh`
+    (parallel/gspmd.py recipe): state/opt leaves sharded by the shape
+    rule, pool batch-sharded on "data", rng/losses replicated. The
+    shardings need concrete leaf shapes, so the jit is built lazily on
+    first call from the actual arguments."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from facegen.parallel.gspmd import DATA_AXIS, state_shardings
+
+    repl = NamedSharding(mesh, P())
+    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    cache = {}
+
+    def wrapped(*args):
+        if "fn" not in cache:
+            sh = tuple(state_shardings(a, mesh) for a in args[:n_state_args])
+            cache["fn"] = jax.jit(
+                epoch,
+                in_shardings=sh + (repl, pool_sh),
+                out_shardings=sh + (repl,),
+            )
+        return cache["fn"](*args)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # flat autoencoder
 # ---------------------------------------------------------------------------
 
 
-def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3):
+def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3, mesh=None):
     tx = optax.adam(adam_lr)
 
     def epoch(params, state, opt, rng, pool):
@@ -74,6 +102,8 @@ def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3):
         )
         return params, state, opt, losses
 
+    if mesh is not None:
+        return _gspmd_jit(epoch, mesh, n_state_args=3)
     return jax.jit(epoch)
 
 
@@ -94,9 +124,11 @@ def _dump_recon_grid(model_apply, pool, out_path: str, n: int = 16):
 
 
 def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
-                      verbose: bool = True):
+                      verbose: bool = True, mesh=None):
     """Returns (model, params, state, history). Grayscale by default —
-    the reference AE is 1-channel only (train_autoencoder.lua:56-57)."""
+    the reference AE is 1-channel only (train_autoencoder.lua:56-57).
+    With `mesh` (axes "data" x "model"), the epoch runs GSPMD-sharded
+    (parallel/gspmd.py recipe) with identical global-batch semantics."""
     from facegen.data.pipeline import make_source
 
     noise_dim = cfg.noise_dim if cfg.noise_dim != 100 else 256  # AE default :22
@@ -107,10 +139,14 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
 
     params = winit.gaussian_overwrite(params, jax.random.key(cfg.seed + 1))
     tx_opt = optax.adam(1e-3).init(params)
-    epoch_fn = make_ae_epoch(model, cfg)
+    epoch_fn = make_ae_epoch(model, cfg, mesh=mesh)
     source = source or make_source(cfg)
     pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
                              min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
+    if mesh is not None:
+        from facegen.parallel import shard_pool_2d
+
+        pool = shard_pool_2d(pool, mesh)
     history = []
     n = epochs if epochs is not None else (cfg.epochs if cfg.epochs > 0 else 1)
     for e in range(n):
@@ -149,7 +185,7 @@ def _bce(y, t):
     return -jnp.mean(t * jnp.log(y) + (1 - t) * jnp.log1p(-y))
 
 
-def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig):
+def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
     tx = optax.adam(1e-3)
 
     def epoch(bundle, opt1, opt2, rng, pool):
@@ -204,6 +240,8 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig):
         )
         return bundle, opt1, opt2, losses
 
+    if mesh is not None:
+        return _gspmd_jit(epoch, mesh, n_state_args=3)
     return jax.jit(epoch)
 
 
@@ -219,9 +257,10 @@ def make_denoiser_val(dec1, cfg: TrainConfig):
 
 
 def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
-                   verbose: bool = True):
+                   verbose: bool = True, mesh=None):
     """Returns (modules, bundle, history). Default scale for the
-    reference denoiser is 16 (train_denoiser.lua:34)."""
+    reference denoiser is 16 (train_denoiser.lua:34). With `mesh`, the
+    epoch runs GSPMD-sharded (see train_autoencoder)."""
     from facegen.data.pipeline import make_source
 
     enc, dec1, dec2, bundle = AE.init_denoiser(jax.random.key(cfg.seed),
@@ -229,13 +268,17 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
     tx = optax.adam(1e-3)
     opt1 = tx.init(bundle["AE1_DECODER"]["params"])
     opt2 = tx.init(bundle["AE2_DECODER"]["params"])
-    epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg)
+    epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh)
     val_fn = make_denoiser_val(dec1, cfg)
     source = source or make_source(cfg)
     # TRAIN = images [1, 10000], VAL = [10001, 10256] (train_denoiser.lua:153-156)
     pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
                              min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
     val_pool = source.epoch_pool(jax.random.key(cfg.seed + 3), 256)
+    if mesh is not None:
+        from facegen.parallel import shard_pool_2d
+
+        pool = shard_pool_2d(pool, mesh)
     history = []
     n = epochs if epochs is not None else (cfg.epochs if cfg.epochs > 0 else 1)
     for e in range(n):

@@ -94,7 +94,11 @@ def steps_per_epoch(cfg: C2FConfig, pool_size: Optional[int] = None) -> int:
 
 
 def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
-                  pool_size: Optional[int] = None):
+                  pool_size: Optional[int] = None, noise_sharding=None):
+    """``noise_sharding``: optional NamedSharding constraint on the
+    image-shaped noise batches — required under a 2-D GSPMD mesh for the
+    same partitioner conv-dW reason documented in
+    train/step.py:make_train_step."""
     tx_d = _make_tx(cfg.d_optmethod, cfg, "D")
     tx_g = _make_tx(cfg.g_optmethod, cfg, "G")
     bs = cfg.batch_size
@@ -104,7 +108,10 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
     n_steps = steps_per_epoch(cfg, pool_size)
 
     def noise(key, n):
-        return jax.random.uniform(key, (n, fs, fs, 1), dtype, -1.0, 1.0)
+        z = jax.random.uniform(key, (n, fs, fs, 1), dtype, -1.0, 1.0)
+        if noise_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, noise_sharding)
+        return z
 
     def d_iteration(state: C2FState, rng, pool: C2FPool):
         k_real, k_fakecond, k_noise, k_gen, k_drop = jax.random.split(rng, 5)
@@ -224,11 +231,13 @@ def ckpt_name(cfg: C2FConfig, best: bool = False) -> str:
 class C2FTrainer:
     """train_c2f.lua driver: epoch loop + approxParzen + best checkpoint."""
 
-    def __init__(self, cfg: C2FConfig, source=None, verbose: bool = True):
+    def __init__(self, cfg: C2FConfig, source=None, verbose: bool = True,
+                 mesh=None):
         from facegen.data.pipeline import DataSource, make_source
 
         self.cfg = cfg
         self.verbose = verbose
+        self.mesh = mesh
         if source is None:
             # dedicated source at fine_size; first val_size images held out
             from facegen.config import TrainConfig
@@ -246,7 +255,16 @@ class C2FTrainer:
         self.state = init_c2f_state(cfg, bundle)
         pool_n = cfg.n_epoch if cfg.n_epoch > 0 else source.size
         self.pool_n = pool_n
-        self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg, pool_n))
+        if mesh is not None:
+            # GSPMD path: params/opt sharded by the shape rule, pools on
+            # "data"; exact single-device semantics (parallel/gspmd.py).
+            from facegen.parallel import make_gspmd_c2f_epoch, shard_state
+
+            self.state = shard_state(self.state, mesh)
+            self.epoch_fn = make_gspmd_c2f_epoch(self.g, self.d, cfg, mesh,
+                                                 self.state, pool_n)
+        else:
+            self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg, pool_n))
         self.parzen_fn = make_parzen_fn(self.g, cfg, cfg.batch_size)
         self.best_dist = float("inf")
         # VAL_DATA = first 500 images (train_c2f.lua:218); train draws
@@ -298,6 +316,10 @@ class C2FTrainer:
         self._log("Loading new training data...")
         fine = self.source.epoch_pool(k_pool, self.pool_n)
         pool = make_triples(fine, cfg.coarse_size)
+        if self.mesh is not None:
+            from facegen.parallel import shard_pool_2d
+
+            pool = shard_pool_2d(pool, self.mesh)
 
         if not cfg.noplot:
             from facegen.utils.grids import save_png

@@ -225,3 +225,112 @@ def test_gspmd_epoch_runs_on_2x4():
     new_state, ms = epoch(state, jax.random.key(0), pool)
     assert bool(jnp.isfinite(ms.loss_d).all())
     assert int(new_state.epoch) == 2
+
+
+# ---------------------------------------------------------------------------
+# GSPMD over the auxiliary model families (c2f / AE / denoiser)
+# ---------------------------------------------------------------------------
+
+
+def _c2f_setup():
+    from facegen.config import C2FConfig
+    from facegen.data.c2f import make_triples
+    from facegen.models import c2f as c2f_models
+    from facegen.train.c2f import init_c2f_state
+
+    cfg = C2FConfig(batch_size=16, coarse_size=4, fine_size=8, grayscale=True,
+                    n_epoch=16, compute_dtype="float32",
+                    synthetic_data=True, seed=3).validate()
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), cfg.fine_size,
+                                       cfg.channels)
+    state = init_c2f_state(cfg, bundle)
+    fine = jax.random.randint(jax.random.key(1), (64, 8, 8, 1), 0, 256, jnp.uint8)
+    pool = make_triples(fine, cfg.coarse_size)
+    return cfg, g, d, state, pool
+
+
+def test_gspmd_c2f_epoch_matches_single_device():
+    """The c2f GSPMD program is the same math as single-device (same RNG
+    stream, global batch); per-epoch losses must agree."""
+    from facegen.parallel import make_gspmd_c2f_epoch, make_mesh2d, shard_pool_2d, shard_state
+    from facegen.train import c2f as c2f_train
+
+    cfg, g, d, state, pool = _c2f_setup()
+    epoch1 = jax.jit(c2f_train.make_epoch_fn(g, d, cfg))
+    s1, ms1 = epoch1(state, jax.random.key(5), pool)
+
+    mesh2 = make_mesh2d(2, 4)
+    state2 = shard_state(state, mesh2)
+    epoch2 = make_gspmd_c2f_epoch(g, d, cfg, mesh2, state2)
+    s2, ms2 = epoch2(state2, jax.random.key(5), shard_pool_2d(pool, mesh2))
+
+    np.testing.assert_allclose(np.asarray(ms1.loss_d), np.asarray(ms2.loss_d),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ms1.loss_g), np.asarray(ms2.loss_g),
+                               rtol=2e-4, atol=1e-5)
+    # conv kernels sharded on the model axis survive the epoch
+    specs = {l.sharding.spec for l in jax.tree.leaves(s2.params_g)
+             if getattr(l, "ndim", 0) == 4}
+    assert jax.sharding.PartitionSpec(None, None, None, "model") in specs
+
+
+def test_gspmd_c2f_trainer_smoke(tmp_path):
+    from facegen.config import C2FConfig
+    from facegen.parallel import make_mesh2d
+    from facegen.train.c2f import C2FTrainer
+
+    cfg = C2FConfig(batch_size=8, coarse_size=4, fine_size=8, grayscale=True,
+                    n_epoch=16, compute_dtype="float32", synthetic_data=True,
+                    seed=3, save=str(tmp_path / "logs"), save_freq=1,
+                    val_size=16, parzen_samples=8).validate()
+    tr = C2FTrainer(cfg, verbose=False, mesh=make_mesh2d(4, 2))
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+    assert np.isfinite(stats["parzen"])
+
+
+def test_gspmd_ae_epoch_matches_single_device():
+    import optax
+
+    from facegen.models import ae as AE
+    from facegen.parallel import make_mesh2d, shard_pool_2d
+    from facegen.train.ae_loop import make_ae_epoch
+
+    cfg = tiny_cfg(batch_size=16)
+    model = AE.create_autoencoder(cfg.scale, 1, 64)
+    params, state, _ = model.init(jax.random.key(0), (cfg.scale, cfg.scale, 1))
+    opt = optax.adam(1e-3).init(params)
+    pool = jax.random.randint(jax.random.key(1), (64, cfg.scale, cfg.scale, 1),
+                              0, 256, jnp.uint8)
+
+    p1, s1, o1, l1 = make_ae_epoch(model, cfg)(params, state, opt,
+                                               jax.random.key(2), pool)
+
+    mesh2 = make_mesh2d(2, 4)
+    ep2 = make_ae_epoch(model, cfg, mesh=mesh2)
+    p2, s2, o2, l2 = ep2(params, state, opt, jax.random.key(2),
+                         shard_pool_2d(pool, mesh2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_gspmd_denoiser_epoch_smoke():
+    import optax
+
+    from facegen.models import ae as AE
+    from facegen.parallel import make_mesh2d, shard_pool_2d
+    from facegen.train.ae_loop import make_denoiser_epoch
+
+    cfg = tiny_cfg(batch_size=16, scale=16)
+    enc, dec1, dec2, bundle = AE.init_denoiser(jax.random.key(0), 16, 1)
+    tx = optax.adam(1e-3)
+    opt1 = tx.init(bundle["AE1_DECODER"]["params"])
+    opt2 = tx.init(bundle["AE2_DECODER"]["params"])
+    pool = jax.random.randint(jax.random.key(1), (64, 16, 16, 1), 0, 256, jnp.uint8)
+    mesh2 = make_mesh2d(4, 2)
+    ep = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh2)
+    b2, o1, o2, losses = ep(bundle, opt1, opt2, jax.random.key(2),
+                            shard_pool_2d(pool, mesh2))
+    assert bool(jnp.isfinite(losses).all())

@@ -14,7 +14,10 @@ def main(argv=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, grayscale=True)
-    train_autoencoder(cfg, epochs=cfg.epochs if cfg.epochs > 0 else None)
+    from facegen.parallel import mesh2d_from_shape
+
+    train_autoencoder(cfg, epochs=cfg.epochs if cfg.epochs > 0 else None,
+                      mesh=mesh2d_from_shape(cfg.mesh_shape))
 
 
 if __name__ == "__main__":

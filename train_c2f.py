@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=-1)
     p.add_argument("--syntheticData", action="store_true", dest="synthetic_data")
     p.add_argument("--datasetDir", default=None, dest="dataset_dir")
+    p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
+                   help="device mesh 'DP' or 'DP,MP' (data x model GSPMD), "
+                        "-1 = all devices")
     a = p.parse_args(argv)
     cfg = C2FConfig(
         save=a.save, save_freq=a.save_freq, network=a.network, noplot=a.noplot,
@@ -58,8 +61,11 @@ def main(argv=None):
         grayscale=a.grayscale, seed=a.seed, aws=a.aws,
         epochs=a.epochs, synthetic_data=a.synthetic_data,
         dataset_dir=a.dataset_dir,
+        mesh_shape=tuple(int(x) for x in str(a.mesh_shape).split(",")),
     ).validate()
-    trainer = C2FTrainer(cfg)
+    from facegen.parallel import mesh2d_from_shape
+
+    trainer = C2FTrainer(cfg, mesh=mesh2d_from_shape(cfg.mesh_shape))
     for _stats in trainer.run():
         pass
 

@@ -15,7 +15,10 @@ def main(argv=None):
     if not any(a.startswith("--scale") for a in argv):
         argv += ["--scale", "16"]
     cfg = train_config_from_args(argv)
-    train_denoiser(cfg, epochs=cfg.epochs if cfg.epochs > 0 else None)
+    from facegen.parallel import mesh2d_from_shape
+
+    train_denoiser(cfg, epochs=cfg.epochs if cfg.epochs > 0 else None,
+                   mesh=mesh2d_from_shape(cfg.mesh_shape))
 
 
 if __name__ == "__main__":
