@@ -334,3 +334,33 @@ def test_gspmd_denoiser_epoch_smoke():
     b2, o1, o2, losses = ep(bundle, opt1, opt2, jax.random.key(2),
                             shard_pool_2d(pool, mesh2))
     assert bool(jnp.isfinite(losses).all())
+
+
+def test_gspmd_trainer_save_resume_roundtrip(tmp_path):
+    """Checkpoint written from a 2-D-mesh trainer (sharded state) must
+    restore bit-exactly into a fresh mesh trainer."""
+    from facegen.parallel import make_mesh2d
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    cfg = TrainConfig(
+        batch_size=16, scale=16, grayscale=True, noise_dim=16, n_epoch=16,
+        compute_dtype="float32", reference_init=False, synthetic_data=True,
+        save=str(tmp_path / "logs"), save_freq=1, noplot=True,
+    ).validate()
+    mesh2 = make_mesh2d(4, 2)
+    tr = Trainer(cfg, mesh=mesh2, verbose=False)
+    tr.train_epoch(0)
+    tr.save()
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, network=CKPT_NAME)
+    tr2 = Trainer(cfg2, mesh=mesh2, verbose=False)
+    assert int(tr2.state.epoch) == int(tr.state.epoch)
+    for a, b in zip(jax.tree.leaves(tr.state.params_g),
+                    jax.tree.leaves(tr2.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))
+    # resumed trainer can continue training on the mesh
+    stats = tr2.train_epoch(1)
+    assert np.isfinite(stats["loss_d_mean"])
