@@ -216,7 +216,6 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
         # (axon); a scalar value fetch is the only reliable barrier.
         return float(jnp.sum(x))
 
-    epoch.lower(state, jax.random.key(3), pool).compile()
     try:
         flops_per_epoch = _model_flops_per_epoch(g, d, bundle, cfg)
     except Exception:

@@ -55,6 +55,8 @@ def make_mesh2d(dp: int, mp: int, devices=None) -> Mesh:
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
+    if dp < 1 or mp < 1:
+        raise ValueError(f"mesh axes must be positive, got ({dp}, {mp})")
     if dp * mp > len(devices):
         raise ValueError(
             f"mesh ({dp}, {mp}) needs {dp * mp} devices, have {len(devices)}"
@@ -63,6 +65,16 @@ def make_mesh2d(dp: int, mp: int, devices=None) -> Mesh:
         np.asarray(devices[: dp * mp]).reshape(dp, mp),
         (DATA_AXIS, MODEL_AXIS),
     )
+
+
+def ensure_mesh2d(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Lift a 1-D ("data",) mesh to (N, 1) axes ("data", "model") so
+    GSPMD-only trainers accept either mesh flavor; 2-D meshes pass
+    through."""
+    if mesh is None or MODEL_AXIS in mesh.axis_names:
+        return mesh
+    devices = list(mesh.devices.flat)
+    return make_mesh2d(len(devices), 1, devices=devices)
 
 
 def mesh2d_from_shape(shape: Sequence[int]) -> Optional[Mesh]:
@@ -114,14 +126,23 @@ def shard_state(state: GanState, mesh: Mesh, min_shard: int = 64) -> GanState:
 def shard_pool_2d(pool, mesh: Mesh):
     """Shard an epoch pool's batch dim over "data" (replicated over
     "model"). Accepts a single array or a pytree of batched arrays
-    (e.g. `C2FPool`): every array leaf is sharded on its leading dim,
-    truncated to a multiple of the data-axis size."""
+    (e.g. `C2FPool`): every array leaf is sharded on its leading dim.
+
+    `device_put` requires the sharded dim to divide evenly, so a
+    non-divisible pool is wrap-padded (repeating its first rows) up to
+    the next multiple — no data is dropped. The GAN/c2f epoch factories
+    pass the TRUE pool size as the batch-draw range (`draw_n`), so
+    padded rows are never sampled and the math stays exactly the
+    single-device program's."""
     n = mesh.shape[DATA_AXIS]
     sh = NamedSharding(mesh, P(DATA_AXIS))
 
     def put(x):
-        usable = (x.shape[0] // n) * n
-        return jax.device_put(x[:usable], sh)
+        total = x.shape[0] + (-x.shape[0] % n)
+        if total != x.shape[0]:
+            reps = -(-total // x.shape[0])  # pool may be smaller than n
+            x = jnp.concatenate([x] * reps, axis=0)[:total]
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, pool)
 
@@ -137,28 +158,55 @@ def _noise_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None))
 
 
+def gspmd_jit(fn, mesh: Mesh, n_state_args: int = 1, min_shard: int = 64):
+    """jit an epoch-like fn `(*state_pytrees, ..., pool) ->
+    (*state_pytrees, aux)` with GSPMD in/out shardings over `mesh`:
+    the first `n_state_args` arguments (params/optimizer/state pytrees)
+    are sharded by the shape rule, the LAST argument (the epoch pool)
+    batch-sharded on "data", everything between (rng keys etc.) and the
+    trailing aux output replicated. The one shared recipe behind every
+    GSPMD factory here and the AE/denoiser loops.
+
+    Shardings need concrete leaf shapes, so the jit is built lazily
+    from the first call's arguments — which also means callers may pass
+    host-resident state (e.g. right after a checkpoint restore) and it
+    is placed correctly."""
+    repl = NamedSharding(mesh, P())
+    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    cache = {}
+
+    def wrapped(*args):
+        if "fn" not in cache:
+            sh = tuple(state_shardings(a, mesh, min_shard)
+                       for a in args[:n_state_args])
+            mid = (repl,) * (len(args) - n_state_args - 1)
+            cache["fn"] = jax.jit(
+                fn,
+                in_shardings=sh + mid + (pool_sh,),
+                out_shardings=sh + (repl,),
+            )
+        return cache["fn"](*args)
+
+    return wrapped
+
+
 def make_gspmd_epoch(
     g: Module,
     d: Module,
     cfg: TrainConfig,
     mesh: Mesh,
-    state: GanState,
     pool_size: Optional[int] = None,
 ):
     """jit the single-device whole-epoch program with in/out shardings
     over the 2-D mesh; GSPMD inserts all collectives. Numerically the
     SAME program as the single-chip `make_epoch_fn` (global batch,
-    global BN stats, one RNG stream)."""
-    sh_state = state_shardings(state, mesh)
-    repl = NamedSharding(mesh, P())
-    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
+    global BN stats, one RNG stream); `pool_size` (the true pool size)
+    doubles as the batch-draw range so wrap-padded pools
+    (`shard_pool_2d`) never sample a padded row."""
     epoch = make_epoch_fn(g, d, cfg, pool_size=pool_size,
-                          noise_sharding=_noise_sharding(mesh))
-    return jax.jit(
-        epoch,
-        in_shardings=(sh_state, repl, pool_sh),
-        out_shardings=(sh_state, repl),
-    )
+                          noise_sharding=_noise_sharding(mesh),
+                          draw_n=pool_size)
+    return gspmd_jit(epoch, mesh)
 
 
 def make_gspmd_c2f_epoch(
@@ -166,27 +214,20 @@ def make_gspmd_c2f_epoch(
     d: Module,
     cfg,
     mesh: Mesh,
-    state,
     pool_size: Optional[int] = None,
 ):
     """c2f refinement-GAN whole-epoch program under the 2-D mesh — same
     recipe as `make_gspmd_epoch`: the single-device epoch
     (facegen/train/c2f.py) jitted with in/out shardings, image-shaped
     noise constrained onto the data axis (see `_noise_sharding`).
-    `state` is a C2FState, pools are C2FPool pytrees (both fields
+    State is a C2FState, pools are C2FPool pytrees (both fields
     batch-sharded on "data")."""
     from facegen.train.c2f import make_epoch_fn as make_c2f_epoch_fn
 
-    sh_state = state_shardings(state, mesh)
-    repl = NamedSharding(mesh, P())
-    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
     epoch = make_c2f_epoch_fn(g, d, cfg, pool_size=pool_size,
-                              noise_sharding=_noise_sharding(mesh))
-    return jax.jit(
-        epoch,
-        in_shardings=(sh_state, repl, pool_sh),
-        out_shardings=(sh_state, repl),
-    )
+                              noise_sharding=_noise_sharding(mesh),
+                              draw_n=pool_size)
+    return gspmd_jit(epoch, mesh)
 
 
 def make_gspmd_step(
@@ -194,16 +235,8 @@ def make_gspmd_step(
     d: Module,
     cfg: TrainConfig,
     mesh: Mesh,
-    state: GanState,
 ):
     """Single train step under the 2-D mesh (the multichip dryrun's
     tensor-parallel validation path)."""
-    sh_state = state_shardings(state, mesh)
-    repl = NamedSharding(mesh, P())
-    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
     step = make_train_step(g, d, cfg, noise_sharding=_noise_sharding(mesh))
-    return jax.jit(
-        step,
-        in_shardings=(sh_state, repl, pool_sh),
-        out_shardings=(sh_state, repl),
-    )
+    return gspmd_jit(step, mesh)

@@ -42,34 +42,6 @@ def _shuffled_batches(key, n_pool, batch):
     return perm.reshape(n_batches, batch)
 
 
-def _gspmd_jit(epoch, mesh, n_state_args: int):
-    """jit an epoch fn whose signature is (*state_pytrees, rng, pool)
-    -> (*state_pytrees, losses) with GSPMD shardings over `mesh`
-    (parallel/gspmd.py recipe): state/opt leaves sharded by the shape
-    rule, pool batch-sharded on "data", rng/losses replicated. The
-    shardings need concrete leaf shapes, so the jit is built lazily on
-    first call from the actual arguments."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from facegen.parallel.gspmd import DATA_AXIS, state_shardings
-
-    repl = NamedSharding(mesh, P())
-    pool_sh = NamedSharding(mesh, P(DATA_AXIS))
-    cache = {}
-
-    def wrapped(*args):
-        if "fn" not in cache:
-            sh = tuple(state_shardings(a, mesh) for a in args[:n_state_args])
-            cache["fn"] = jax.jit(
-                epoch,
-                in_shardings=sh + (repl, pool_sh),
-                out_shardings=sh + (repl,),
-            )
-        return cache["fn"](*args)
-
-    return wrapped
-
-
 # ---------------------------------------------------------------------------
 # flat autoencoder
 # ---------------------------------------------------------------------------
@@ -103,7 +75,9 @@ def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3, mesh=None):
         return params, state, opt, losses
 
     if mesh is not None:
-        return _gspmd_jit(epoch, mesh, n_state_args=3)
+        from facegen.parallel import gspmd_jit
+
+        return gspmd_jit(epoch, mesh, n_state_args=3)
     return jax.jit(epoch)
 
 
@@ -139,10 +113,18 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
 
     params = winit.gaussian_overwrite(params, jax.random.key(cfg.seed + 1))
     tx_opt = optax.adam(1e-3).init(params)
+    if mesh is not None:
+        from facegen.parallel import ensure_mesh2d
+
+        mesh = ensure_mesh2d(mesh)
     epoch_fn = make_ae_epoch(model, cfg, mesh=mesh)
     source = source or make_source(cfg)
-    pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
-                             min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
+    n_pool = min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384)
+    if mesh is not None:
+        # round down to a data-axis multiple: the shuffled-permutation
+        # sampler must never see wrap-padded duplicate rows
+        n_pool -= n_pool % mesh.shape["data"]
+    pool = source.epoch_pool(jax.random.key(cfg.seed + 2), n_pool)
     if mesh is not None:
         from facegen.parallel import shard_pool_2d
 
@@ -241,7 +223,9 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
         return bundle, opt1, opt2, losses
 
     if mesh is not None:
-        return _gspmd_jit(epoch, mesh, n_state_args=3)
+        from facegen.parallel import gspmd_jit
+
+        return gspmd_jit(epoch, mesh, n_state_args=3)
     return jax.jit(epoch)
 
 
@@ -268,12 +252,18 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
     tx = optax.adam(1e-3)
     opt1 = tx.init(bundle["AE1_DECODER"]["params"])
     opt2 = tx.init(bundle["AE2_DECODER"]["params"])
+    if mesh is not None:
+        from facegen.parallel import ensure_mesh2d
+
+        mesh = ensure_mesh2d(mesh)
     epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh)
     val_fn = make_denoiser_val(dec1, cfg)
     source = source or make_source(cfg)
     # TRAIN = images [1, 10000], VAL = [10001, 10256] (train_denoiser.lua:153-156)
-    pool = source.epoch_pool(jax.random.key(cfg.seed + 2),
-                             min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384))
+    n_pool = min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384)
+    if mesh is not None:
+        n_pool -= n_pool % mesh.shape["data"]  # see train_autoencoder
+    pool = source.epoch_pool(jax.random.key(cfg.seed + 2), n_pool)
     val_pool = source.epoch_pool(jax.random.key(cfg.seed + 3), 256)
     if mesh is not None:
         from facegen.parallel import shard_pool_2d

@@ -94,11 +94,14 @@ def steps_per_epoch(cfg: C2FConfig, pool_size: Optional[int] = None) -> int:
 
 
 def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
-                  pool_size: Optional[int] = None, noise_sharding=None):
+                  pool_size: Optional[int] = None, noise_sharding=None,
+                  draw_n: Optional[int] = None):
     """``noise_sharding``: optional NamedSharding constraint on the
     image-shaped noise batches — required under a 2-D GSPMD mesh for the
     same partitioner conv-dW reason documented in
-    train/step.py:make_train_step."""
+    train/step.py:make_train_step. ``draw_n``: true pool size to draw
+    batch indices from when the pool arrives wrap-padded
+    (parallel/gspmd.py shard_pool_2d)."""
     tx_d = _make_tx(cfg.d_optmethod, cfg, "D")
     tx_g = _make_tx(cfg.g_optmethod, cfg, "G")
     bs = cfg.batch_size
@@ -115,10 +118,10 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
 
     def d_iteration(state: C2FState, rng, pool: C2FPool):
         k_real, k_fakecond, k_noise, k_gen, k_drop = jax.random.split(rng, 5)
-        idx_real = jax.random.randint(k_real, (half,), 0, pool.size)
+        idx_real = jax.random.randint(k_real, (half,), 0, draw_n or pool.size)
         _, cond_real, diff_real = gather_triple(pool, idx_real, dtype)
         # fake half: fresh random coarse conditions (adversarial_c2f.lua:136-142)
-        idx_fake = jax.random.randint(k_fakecond, (half,), 0, pool.size)
+        idx_fake = jax.random.randint(k_fakecond, (half,), 0, draw_n or pool.size)
         _, cond_fake, _ = gather_triple(pool, idx_fake, dtype)
         z = noise(k_noise, half)
         diff_fake, state_g = g.apply(state.params_g, state.state_g,
@@ -152,7 +155,7 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
 
     def g_iteration(state: C2FState, rng, pool: C2FPool):
         k_cond, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
-        idx = jax.random.randint(k_cond, (bs,), 0, pool.size)
+        idx = jax.random.randint(k_cond, (bs,), 0, draw_n or pool.size)
         _, conds, _ = gather_triple(pool, idx, dtype)
         z = noise(k_noise, bs)
         targets = jnp.ones((bs,), jnp.float32)
@@ -258,11 +261,16 @@ class C2FTrainer:
         if mesh is not None:
             # GSPMD path: params/opt sharded by the shape rule, pools on
             # "data"; exact single-device semantics (parallel/gspmd.py).
-            from facegen.parallel import make_gspmd_c2f_epoch, shard_state
+            from facegen.parallel import (
+                ensure_mesh2d,
+                make_gspmd_c2f_epoch,
+                shard_state,
+            )
 
+            self.mesh = mesh = ensure_mesh2d(mesh)
             self.state = shard_state(self.state, mesh)
             self.epoch_fn = make_gspmd_c2f_epoch(self.g, self.d, cfg, mesh,
-                                                 self.state, pool_n)
+                                                 pool_n)
         else:
             self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg, pool_n))
         self.parzen_fn = make_parzen_fn(self.g, cfg, cfg.batch_size)

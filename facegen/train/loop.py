@@ -77,7 +77,7 @@ class Trainer:
 
             self.state = shard_state(self.state, mesh)
             self.epoch_fn = make_gspmd_epoch(self.g, self.d, cfg, mesh,
-                                             self.state, pool_size=pool_n)
+                                             pool_size=pool_n)
         elif mesh is not None:
             from facegen.parallel import make_parallel_epoch, replicate
 
@@ -296,14 +296,16 @@ def main(argv=None):
     cfg = train_config_from_args(argv)
     mesh = None
     if len(jax.devices()) > 1:
-        if len(cfg.mesh_shape) == 2 and cfg.mesh_shape[1] > 1:
-            from facegen.parallel import make_mesh2d
+        if len(cfg.mesh_shape) == 2:
+            # 'DP,MP' (incl. MP=1 and DP=-1) = the GSPMD mesh
+            from facegen.parallel import mesh2d_from_shape
 
-            mesh = make_mesh2d(*cfg.mesh_shape)
+            mesh = mesh2d_from_shape(cfg.mesh_shape)
         else:
+            # bare 'N' = shard_map local-batch data parallelism
             from facegen.parallel import make_mesh
 
-            mesh = make_mesh(cfg.mesh_shape[:1])
+            mesh = make_mesh(cfg.mesh_shape)
     trainer = Trainer(cfg, mesh=mesh)
     print(f"Number of free parameters in D: "
           f"{sum(l.size for l in jax.tree.leaves(trainer.state.params_d))}")

@@ -121,6 +121,7 @@ def make_train_step(
     num_shards: int = 1,
     axis_name: Optional[str] = None,
     noise_sharding=None,
+    draw_n: Optional[int] = None,
 ):
     """Build ``step(state, rng, pool) -> (state, StepMetrics)``.
 
@@ -138,6 +139,11 @@ def make_train_step(
     partitioners whenever both mesh axes are non-trivial; dense/matmul
     gradients are unaffected). Sharding the batch axis explicitly both
     avoids the bug and is the layout you want anyway.
+
+    ``draw_n``: optional true pool size to draw batch indices from —
+    set when the pool arrives wrap-padded to a device-count multiple
+    (parallel/gspmd.py shard_pool_2d) so padded rows are never sampled
+    and the draws match the single-device program exactly.
     """
     assert cfg.batch_size % (2 * num_shards) == 0, (
         "global batch must split evenly into half-real/half-fake per shard"
@@ -156,7 +162,7 @@ def make_train_step(
 
     def d_iteration(state: GanState, rng: jax.Array, pool: jax.Array):
         k_idx, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
-        idx = jax.random.randint(k_idx, (half,), 0, pool.shape[0])
+        idx = jax.random.randint(k_idx, (half,), 0, draw_n or pool.shape[0])
         real = pool[idx].astype(dtype) / jnp.asarray(255.0, dtype)
         noise = _constrain(
             jax.random.uniform(k_noise, (half, cfg.noise_dim), dtype, -1.0, 1.0)
@@ -283,6 +289,7 @@ def make_epoch_fn(
     axis_name: Optional[str] = None,
     pool_size: Optional[int] = None,
     noise_sharding=None,
+    draw_n: Optional[int] = None,
 ):
     """Build ``epoch(state, rng, pool) -> (state, stacked StepMetrics)``
     — one `lax.scan` over all steps of an epoch, jit- or shard_map-ready.
@@ -290,7 +297,8 @@ def make_epoch_fn(
     The confusion matrix and D-trained counters accumulate across the
     epoch; the caller prints and resets them (adversarial.lua:302-316).
     """
-    step = make_train_step(g, d, cfg, num_shards, axis_name, noise_sharding)
+    step = make_train_step(g, d, cfg, num_shards, axis_name, noise_sharding,
+                           draw_n)
     n_steps = steps_per_epoch(cfg, pool_size)
 
     def epoch(state: GanState, rng: jax.Array, pool: jax.Array):

@@ -154,7 +154,7 @@ def test_gspmd_step_matches_single_device():
     # (2, 4) mesh
     mesh2 = make_mesh2d(2, 4)
     state2 = shard_state(init_state(cfg, bundle), mesh2)
-    step2 = make_gspmd_step(g, d, cfg, mesh2, state2)
+    step2 = make_gspmd_step(g, d, cfg, mesh2)
     s2, m2 = step2(state2, jax.random.key(3), shard_pool_2d(pool_host, mesh2))
 
     np.testing.assert_allclose(float(m1.loss_d), float(m2.loss_d), rtol=1e-5)
@@ -196,7 +196,7 @@ def test_gspmd_step_4x2_update_parity():
 
     mesh2 = make_mesh2d(4, 2)
     state2 = shard_state(init_state(cfg, bundle), mesh2)
-    step2 = make_gspmd_step(g, d, cfg, mesh2, state2)
+    step2 = make_gspmd_step(g, d, cfg, mesh2)
     s2, m2 = step2(state2, jax.random.key(3), shard_pool_2d(pool_host, mesh2))
     assert bool(jnp.isfinite(m2.loss_d)) and bool(jnp.isfinite(m2.loss_g))
     np.testing.assert_allclose(float(m1.loss_d), float(m2.loss_d), rtol=5e-2)
@@ -221,7 +221,7 @@ def test_gspmd_epoch_runs_on_2x4():
     pool = shard_pool_2d(
         jax.random.randint(jax.random.key(2), (64,) + cfg.img_shape, 0, 256,
                            jnp.uint8), mesh2)
-    epoch = make_gspmd_epoch(g, d, cfg, mesh2, state)
+    epoch = make_gspmd_epoch(g, d, cfg, mesh2)
     new_state, ms = epoch(state, jax.random.key(0), pool)
     assert bool(jnp.isfinite(ms.loss_d).all())
     assert int(new_state.epoch) == 2
@@ -261,7 +261,7 @@ def test_gspmd_c2f_epoch_matches_single_device():
 
     mesh2 = make_mesh2d(2, 4)
     state2 = shard_state(state, mesh2)
-    epoch2 = make_gspmd_c2f_epoch(g, d, cfg, mesh2, state2)
+    epoch2 = make_gspmd_c2f_epoch(g, d, cfg, mesh2)
     s2, ms2 = epoch2(state2, jax.random.key(5), shard_pool_2d(pool, mesh2))
 
     np.testing.assert_allclose(np.asarray(ms1.loss_d), np.asarray(ms2.loss_d),
@@ -316,7 +316,14 @@ def test_gspmd_ae_epoch_matches_single_device():
                                    rtol=5e-3, atol=1e-5)
 
 
-def test_gspmd_denoiser_epoch_smoke():
+def test_gspmd_denoiser_epoch_matches_single_device():
+    """Parity, not just finiteness: the (4,2) mesh has both axes
+    non-trivial — exactly the configuration where the partitioner
+    conv-dW miscompile class (gspmd._noise_sharding) would silently
+    scale gradients by dp, which an isfinite check cannot catch. The
+    denoiser's WhiteNoise is added to the data-sharded batch, so its
+    sharding propagates correctly without an explicit constraint; this
+    test is what proves that."""
     import optax
 
     from facegen.models import ae as AE
@@ -329,11 +336,80 @@ def test_gspmd_denoiser_epoch_smoke():
     opt1 = tx.init(bundle["AE1_DECODER"]["params"])
     opt2 = tx.init(bundle["AE2_DECODER"]["params"])
     pool = jax.random.randint(jax.random.key(1), (64, 16, 16, 1), 0, 256, jnp.uint8)
+
+    # THREE successive epochs: miscompiled (dp-scaled) gradients feed
+    # back through Adam and blow the later-epoch losses apart, while
+    # float-reorder noise keeps them tracking. (Param-level comparison
+    # is meaningless here: the denoiser hardwires Adam per the
+    # reference, and first-step Adam is ~lr*sign(g) — reorder noise
+    # near g=0 flips signs without changing the math.)
+    ep1 = make_denoiser_epoch(enc, dec1, dec2, cfg)
     mesh2 = make_mesh2d(4, 2)
-    ep = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh2)
-    b2, o1, o2, losses = ep(bundle, opt1, opt2, jax.random.key(2),
-                            shard_pool_2d(pool, mesh2))
-    assert bool(jnp.isfinite(losses).all())
+    ep2 = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh2)
+    b1, o1a, o1b = bundle, opt1, opt2
+    b2, o2a, o2b = bundle, opt1, opt2
+    pool2 = shard_pool_2d(pool, mesh2)
+    for e in range(3):
+        k = jax.random.key(2 + e)
+        b1, o1a, o1b, l1 = ep1(b1, o1a, o1b, k, pool)
+        b2, o2a, o2b, l2 = ep2(b2, o2a, o2b, k, pool2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_gspmd_wrap_padded_pool_is_exact():
+    """A pool NOT divisible by dp is wrap-padded by shard_pool_2d, and
+    draw_n keeps the batch draws identical to the single-device run on
+    the unpadded pool."""
+    from facegen.parallel import make_gspmd_epoch, make_mesh2d, shard_pool_2d, shard_state
+    from facegen.train.step import make_epoch_fn
+
+    cfg = tiny_cfg(n_epoch=16)
+    g, d, bundle = gan.init_gan(jax.random.key(1), cfg.scale, cfg.channels,
+                                cfg.noise_dim, reference_init=False)
+    pool = jax.random.randint(jax.random.key(2), (61,) + cfg.img_shape,
+                              0, 256, jnp.uint8)  # 61 % 2 != 0
+
+    epoch1 = jax.jit(make_epoch_fn(g, d, cfg, pool_size=61))
+    s1, ms1 = epoch1(init_state(cfg, bundle), jax.random.key(3), pool)
+
+    mesh2 = make_mesh2d(2, 4)
+    state2 = shard_state(init_state(cfg, bundle), mesh2)
+    sharded = shard_pool_2d(pool, mesh2)
+    assert sharded.shape[0] == 62  # padded up, nothing dropped
+    epoch2 = make_gspmd_epoch(g, d, cfg, mesh2, pool_size=61)
+    s2, ms2 = epoch2(state2, jax.random.key(3), sharded)
+    np.testing.assert_allclose(np.asarray(ms1.loss_d), np.asarray(ms2.loss_d),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ms1.loss_g), np.asarray(ms2.loss_g),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_c2f_trainer_accepts_1d_mesh(tmp_path):
+    """A plain ("data",) mesh is lifted to (N, 1) by ensure_mesh2d."""
+    from facegen.config import C2FConfig
+    from facegen.parallel import make_mesh
+    from facegen.train.c2f import C2FTrainer
+
+    cfg = C2FConfig(batch_size=8, coarse_size=4, fine_size=8, grayscale=True,
+                    n_epoch=16, compute_dtype="float32", synthetic_data=True,
+                    seed=3, save=str(tmp_path / "logs"), save_freq=1,
+                    val_size=16, parzen_samples=8).validate()
+    tr = C2FTrainer(cfg, verbose=False, mesh=make_mesh((-1,)))
+    assert "model" in tr.mesh.axis_names and tr.mesh.shape["model"] == 1
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+
+
+def test_mesh2d_rejects_bad_shapes():
+    from facegen.parallel import make_mesh2d
+
+    with pytest.raises(ValueError):
+        make_mesh2d(0, 16)
+    with pytest.raises(ValueError):
+        make_mesh2d(4, -1)
+    with pytest.raises(ValueError):
+        make_mesh2d(16, 4)  # needs 64 devices
 
 
 def test_gspmd_trainer_save_resume_roundtrip(tmp_path):
