@@ -193,6 +193,8 @@ class SampleConfig:
     neighbours: bool = False      # --neighbours
     writeto: str = "samples"      # --writeto
     aws: bool = False
+    # TPU addition: 'DP[,MP]' data-parallel serving mesh (parallel/gspmd.py)
+    mesh_shape: Tuple[int, ...] = (-1,)
 
     @property
     def channels(self) -> int:

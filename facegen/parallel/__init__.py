@@ -9,6 +9,7 @@ from facegen.parallel.mesh import (  # noqa: F401
 from facegen.parallel.gspmd import (  # noqa: F401
     MODEL_AXIS,
     ensure_mesh2d,
+    gspmd_infer_jit,
     gspmd_jit,
     make_gspmd_c2f_epoch,
     make_gspmd_epoch,

@@ -190,6 +190,34 @@ def gspmd_jit(fn, mesh: Mesh, n_state_args: int = 1, min_shard: int = 64):
     return wrapped
 
 
+def gspmd_infer_jit(fn, mesh: Mesh, n_state_args: int, min_shard: int = 64):
+    """jit an inference fn `(*param_pytrees, batch) -> batched output`
+    with params sharded by the shape rule and the batch (plus the
+    output) sharded on "data" — data-parallel serving. A batch whose
+    leading dim does not divide the data axis is wrap-padded for the
+    call and the output sliced back, so any request size works."""
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    dp = mesh.shape[DATA_AXIS]
+    cache = {}
+
+    def wrapped(*args):
+        if "fn" not in cache:
+            sh = tuple(state_shardings(a, mesh, min_shard)
+                       for a in args[:n_state_args])
+            cache["fn"] = jax.jit(fn, in_shardings=sh + (data,),
+                                  out_shardings=data)
+        batch = args[-1]
+        n = batch.shape[0]
+        pad = -n % dp
+        if pad:
+            reps = -(-(n + pad) // n)
+            batch = jnp.concatenate([batch] * reps, axis=0)[: n + pad]
+        out = cache["fn"](*args[:-1], batch)
+        return out[:n] if pad else out
+
+    return wrapped
+
+
 def make_gspmd_epoch(
     g: Module,
     d: Module,

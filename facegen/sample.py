@@ -59,10 +59,13 @@ def neighbours_grid(best: np.ndarray, matches: np.ndarray) -> np.ndarray:
     return to_grid(paired, nrow=8)
 
 
-def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
-    """dataset: optional (N, H, W, C) uint8 array for --neighbours."""
+def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True,
+                 mesh=None):
+    """dataset: optional (N, H, W, C) uint8 array for --neighbours.
+    mesh: optional device mesh — generation, D-scoring and the NN GEMM
+    run data-parallel over its "data" axis (utils/infer.py)."""
     g, d, bundle, meta = load_models(cfg)
-    inf = GanInference(g, d, cfg.noise_dim)
+    inf = GanInference(g, d, cfg.noise_dim, mesh=mesh)
     os.makedirs(cfg.writeto, exist_ok=True)
     nn_dataset = None  # uploaded/flattened once across runs
     outputs = []
@@ -92,7 +95,7 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True):
             if nn_dataset is None:
                 from facegen.utils.infer import prepare_nn_dataset
 
-                nn_dataset = prepare_nn_dataset(dataset)
+                nn_dataset = prepare_nn_dataset(dataset, mesh=mesh)
             idx, dist = nearest_neighbours(jnp.asarray(best[:16]), nn_dataset)
             matches = np.asarray(dataset[idx[:, 0]], np.float32)
             if matches.dtype != np.float32 or matches.max() > 1.5:
@@ -186,14 +189,19 @@ def main(argv=None):
     p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
     p.add_argument("--batchSize", type=int, default=16, dest="batch_size")
     p.add_argument("--aws", action="store_true")
+    p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
+                   help="serving mesh 'DP' or 'DP,MP', -1 = all devices")
     a = p.parse_args(argv)
     cfg = SampleConfig(
         save=a.save, network=a.network, batch_size=a.batch_size,
         noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
         seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
         writeto=a.writeto, aws=a.aws,
+        mesh_shape=tuple(int(x) for x in str(a.mesh_shape).split(",")),
     )
-    run_sampling(cfg)
+    from facegen.parallel import mesh2d_from_shape
+
+    run_sampling(cfg, mesh=mesh2d_from_shape(cfg.mesh_shape))
     print("Finished.")
 
 

@@ -23,24 +23,35 @@ class GanInference:
     """Eval-mode G/D execution (dropout off, BN running stats —
     nn_utils.lua:207-222 switchToEvaluationMode)."""
 
-    def __init__(self, g: Module, d: Module, noise_dim: int, compute_dtype="bfloat16"):
+    def __init__(self, g: Module, d: Module, noise_dim: int, compute_dtype="bfloat16",
+                 mesh=None):
+        """`mesh` (optional, axes "data" [x "model"]): data-parallel
+        serving — params sharded by the gspmd shape rule, request
+        batches split over "data" (facegen/parallel/gspmd.py)."""
         self.g = g
         self.d = d
         self.noise_dim = noise_dim
         self.dtype = jnp.dtype(compute_dtype)
+        self.mesh = mesh
 
-        @jax.jit
         def _gen(params_g, state_g, noise):
             imgs, _ = g.apply(params_g, state_g, noise.astype(self.dtype), Ctx(None, False))
             return imgs.astype(jnp.float32)
 
-        @jax.jit
         def _score(params_d, state_d, images):
             logits, _ = d.apply(params_d, state_d, images.astype(self.dtype), Ctx(None, False))
             return jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(-1)
 
-        self._gen = _gen
-        self._score = _score
+        if mesh is not None:
+            from facegen.parallel import ensure_mesh2d
+            from facegen.parallel.gspmd import gspmd_infer_jit
+
+            self.mesh = mesh = ensure_mesh2d(mesh)
+            self._gen = gspmd_infer_jit(_gen, mesh, n_state_args=2)
+            self._score = gspmd_infer_jit(_score, mesh, n_state_args=2)
+        else:
+            self._gen = jax.jit(_gen)
+            self._score = jax.jit(_score)
 
     # nn_utils.lua:35-39 createNoiseInputs: U(-1, 1)
     def noise(self, key: jax.Array, n: int) -> jax.Array:
@@ -84,14 +95,29 @@ def sanity_image(scale: int, channels: int, key: jax.Array) -> jax.Array:
     return img
 
 
-def prepare_nn_dataset(dataset) -> jax.Array:
+def prepare_nn_dataset(dataset, mesh=None) -> jax.Array:
     """Upload + flatten a dataset once for repeated NN queries.
-    uint8 inputs are normalized to [0, 1] floats."""
+    uint8 inputs are normalized to [0, 1] floats.
+
+    With `mesh`, rows are sharded over "data" so the search GEMM runs
+    data-parallel; a non-divisible row count is padded with sentinel
+    rows (value 1e6 — squared distance ~3e15, so they can never enter
+    a top-k over real [0,1] images and no index mapping is needed)."""
     arr = np.asarray(dataset)
     flat = arr.reshape(arr.shape[0], -1).astype(np.float32)
     if arr.dtype == np.uint8:
         flat = flat / 255.0
-    return jax.device_put(jnp.asarray(flat))
+    if mesh is None:
+        return jax.device_put(jnp.asarray(flat))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["data"]
+    pad = -flat.shape[0] % dp
+    if pad:
+        flat = np.concatenate(
+            [flat, np.full((pad, flat.shape[1]), 1e6, np.float32)]
+        )
+    return jax.device_put(jnp.asarray(flat), NamedSharding(mesh, P("data")))
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -108,7 +134,7 @@ def _nn_search(q: jax.Array, df: jax.Array, k: int):
 
 
 def nearest_neighbours(
-    queries: jax.Array, dataset, k: int = 1, batch: int = 0
+    queries: jax.Array, dataset, k: int = 1, batch: int = 0, mesh=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """For each query image, the k nearest dataset images by L2 distance.
 
@@ -117,12 +143,14 @@ def nearest_neighbours(
     the MXU plus an on-device top-k; only the final (Q, k) indices and
     distances cross back to the host. ``dataset`` may be a host array
     (uploaded once — prefer `prepare_nn_dataset` for repeated queries)
-    or an already-prepared device array. Returns (indices, distances).
+    or an already-prepared device array. With `mesh`, the dataset rows
+    shard over "data" and XLA distributes the GEMM + top-k. Returns
+    (indices, distances).
     """
     q = jnp.asarray(queries).reshape(len(queries), -1).astype(jnp.float32)
     if isinstance(dataset, jax.Array) and dataset.ndim == 2:
         df = dataset
     else:
-        df = prepare_nn_dataset(dataset)
+        df = prepare_nn_dataset(dataset, mesh=mesh)
     idx, dist = _nn_search(q, df, k)
     return np.asarray(idx), np.asarray(dist)

@@ -440,3 +440,50 @@ def test_gspmd_trainer_save_resume_roundtrip(tmp_path):
     # resumed trainer can continue training on the mesh
     stats = tr2.train_epoch(1)
     assert np.isfinite(stats["loss_d_mean"])
+
+
+# ---------------------------------------------------------------------------
+# data-parallel serving (GanInference / NN search on a mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_inference_matches_single_device():
+    from facegen.parallel import make_mesh2d
+    from facegen.utils.infer import GanInference
+
+    cfg = tiny_cfg()
+    g, d, bundle = gan.init_gan(jax.random.key(1), cfg.scale, cfg.channels,
+                                cfg.noise_dim, reference_init=False)
+    b = {"params_g": bundle["params_g"], "state_g": bundle["state_g"],
+         "params_d": bundle["params_d"], "state_d": bundle["state_d"]}
+    inf1 = GanInference(g, d, cfg.noise_dim, compute_dtype="float32")
+    inf2 = GanInference(g, d, cfg.noise_dim, compute_dtype="float32",
+                        mesh=make_mesh2d(4, 2))
+    # 300 is NOT divisible by dp=4: exercises the wrap-pad + slice path
+    for n in (64, 300):
+        imgs1 = inf1.generate_n(b, jax.random.key(7), n)
+        imgs2 = inf2.generate_n(b, jax.random.key(7), n)
+        assert imgs2.shape[0] == n
+        np.testing.assert_allclose(np.asarray(imgs1), np.asarray(imgs2),
+                                   rtol=1e-4, atol=1e-5)
+        s1 = inf1.score(b, imgs1)
+        s2 = inf2.score(b, imgs2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_nn_search_ignores_sentinel_padding():
+    from facegen.parallel import make_mesh2d
+    from facegen.utils.infer import nearest_neighbours, prepare_nn_dataset
+
+    mesh2 = make_mesh2d(4, 2)
+    # 13 rows: padded to 16 with three sentinel rows on the mesh
+    data = np.asarray(
+        jax.random.uniform(jax.random.key(0), (13, 8, 8, 1), jnp.float32))
+    queries = data[[3, 9, 12]] + 0.001
+    df = prepare_nn_dataset(data, mesh=mesh2)
+    assert df.shape[0] == 16
+    idx, dist = nearest_neighbours(queries, df)
+    assert list(idx[:, 0]) == [3, 9, 12]  # sentinels never win
+    idx0, dist0 = nearest_neighbours(queries, data)  # meshless reference
+    np.testing.assert_allclose(dist[:, 0], dist0[:, 0], rtol=1e-5, atol=1e-6)
