@@ -13,6 +13,7 @@ from facegen.parallel.gspmd import (  # noqa: F401
     gspmd_jit,
     make_gspmd_c2f_epoch,
     make_gspmd_epoch,
+    make_gspmd_segment,
     make_gspmd_step,
     make_mesh2d,
     mesh2d_from_shape,

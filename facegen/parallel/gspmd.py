@@ -158,14 +158,16 @@ def _noise_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None))
 
 
-def gspmd_jit(fn, mesh: Mesh, n_state_args: int = 1, min_shard: int = 64):
-    """jit an epoch-like fn `(*state_pytrees, ..., pool) ->
+def gspmd_jit(fn, mesh: Mesh, n_state_args: int = 1, min_shard: int = 64,
+              pool_arg: int = -1):
+    """jit an epoch-like fn `(*state_pytrees, ..., pool, ...) ->
     (*state_pytrees, aux)` with GSPMD in/out shardings over `mesh`:
     the first `n_state_args` arguments (params/optimizer/state pytrees)
-    are sharded by the shape rule, the LAST argument (the epoch pool)
-    batch-sharded on "data", everything between (rng keys etc.) and the
-    trailing aux output replicated. The one shared recipe behind every
-    GSPMD factory here and the AE/denoiser loops.
+    are sharded by the shape rule, the `pool_arg`-th argument (the
+    epoch pool, default: last) batch-sharded on "data", every other
+    argument (rng keys, step offsets) and the trailing aux output
+    replicated. The one shared recipe behind every GSPMD factory here
+    and the AE/denoiser loops.
 
     Shardings need concrete leaf shapes, so the jit is built lazily
     from the first call's arguments — which also means callers may pass
@@ -177,12 +179,16 @@ def gspmd_jit(fn, mesh: Mesh, n_state_args: int = 1, min_shard: int = 64):
 
     def wrapped(*args):
         if "fn" not in cache:
+            pool_i = pool_arg % len(args)
             sh = tuple(state_shardings(a, mesh, min_shard)
                        for a in args[:n_state_args])
-            mid = (repl,) * (len(args) - n_state_args - 1)
+            rest = tuple(
+                pool_sh if i == pool_i else repl
+                for i in range(n_state_args, len(args))
+            )
             cache["fn"] = jax.jit(
                 fn,
-                in_shardings=sh + mid + (pool_sh,),
+                in_shardings=sh + rest,
                 out_shardings=sh + (repl,),
             )
         return cache["fn"](*args)
@@ -256,6 +262,23 @@ def make_gspmd_c2f_epoch(
                               noise_sharding=_noise_sharding(mesh),
                               draw_n=pool_size)
     return gspmd_jit(epoch, mesh)
+
+
+def make_gspmd_segment(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    draw_n: Optional[int] = None,
+):
+    """Epoch-segment fn `(state, rng, pool, offsets)` under the 2-D
+    mesh — the weightsVisFreq batch-cadence path (train/loop.py
+    _segmented_epoch) with the same shardings as `make_gspmd_epoch`."""
+    from facegen.train.step import make_segment_fn
+
+    seg = make_segment_fn(g, d, cfg, noise_sharding=_noise_sharding(mesh),
+                          draw_n=draw_n)
+    return gspmd_jit(seg, mesh, pool_arg=2)
 
 
 def make_gspmd_step(

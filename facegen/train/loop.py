@@ -183,7 +183,9 @@ class Trainer:
             with trace(cfg.trace_dir):
                 self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
                 loss_d_sum = _sync(ms.loss_d)
-        elif cfg.weights_vis_freq > 0 and self.mesh is None:
+        elif cfg.weights_vis_freq > 0 and (
+            self.mesh is None or "model" in self.mesh.axis_names
+        ):
             ms = self._segmented_epoch(k_epoch, pool, n_steps)
             loss_d_sum = _sync(ms.loss_d)
         else:
@@ -212,10 +214,13 @@ class Trainer:
             "trained_d": trained,
             "not_trained_d": not_trained,
         }
-        if cfg.weights_vis_freq > 0 and self.mesh is not None:
-            # On a mesh the epoch stays one shard_mapped program; dump
-            # once per epoch (the single-chip path dumps at the true
-            # batch cadence via _segmented_epoch).
+        if cfg.weights_vis_freq > 0 and self.mesh is not None and (
+            "model" not in self.mesh.axis_names
+        ):
+            # Only the 1-D shard_map mesh keeps the epoch as one
+            # program; dump once per epoch there (the single-chip and
+            # GSPMD paths dump at the true batch cadence via
+            # _segmented_epoch).
             self._netvis_dump(pool, k_viz, n_steps)
 
         self.state = reset_epoch_stats(self.state)
@@ -235,7 +240,14 @@ class Trainer:
         from facegen.train.step import make_segment_fn
 
         if not hasattr(self, "_segment_fn"):
-            self._segment_fn = jax.jit(make_segment_fn(self.g, self.d, self.cfg))
+            if self.mesh is not None and "model" in self.mesh.axis_names:
+                from facegen.parallel import make_gspmd_segment
+
+                self._segment_fn = make_gspmd_segment(
+                    self.g, self.d, self.cfg, self.mesh, draw_n=self.pool_n
+                )
+            else:
+                self._segment_fn = jax.jit(make_segment_fn(self.g, self.d, self.cfg))
         freq = self.cfg.weights_vis_freq
         ms_parts = []
         done = 0

@@ -321,6 +321,8 @@ def make_segment_fn(
     cfg: TrainConfig,
     num_shards: int = 1,
     axis_name: Optional[str] = None,
+    noise_sharding=None,
+    draw_n: Optional[int] = None,
 ):
     """Build ``segment(state, rng, pool, offsets) -> (state, StepMetrics)``
     — a scan over an arbitrary contiguous slice of an epoch's steps.
@@ -335,7 +337,8 @@ def make_segment_fn(
     two compiles (full segment + remainder). The epoch counter is NOT
     advanced — the caller increments it after the last segment.
     """
-    step = make_train_step(g, d, cfg, num_shards, axis_name)
+    step = make_train_step(g, d, cfg, num_shards, axis_name, noise_sharding,
+                           draw_n)
 
     def segment(state: GanState, rng: jax.Array, pool: jax.Array,
                 offsets: jax.Array):

@@ -340,3 +340,23 @@ def test_weights_vis_freq_batch_cadence(tmp_path):
     np.testing.assert_allclose(s1["loss_d_mean"], s2["loss_d_mean"], rtol=1e-4)
     np.testing.assert_allclose(s1["loss_g_mean"], s2["loss_g_mean"], rtol=1e-4)
     assert int(tr.state.epoch) == int(tr2.state.epoch)
+
+
+def test_weights_vis_freq_batch_cadence_on_gspmd_mesh(tmp_path):
+    """The GSPMD mesh keeps the reference's weightsVisFreq *batch*
+    cadence (adversarial.lua:296-299): the segmented epoch runs
+    sharded and dumps per segment, not once per epoch."""
+    import os
+
+    from facegen.parallel import make_mesh2d
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, n_epoch=16, batch_size=16, noplot=True,
+                   weights_vis_freq=1)
+    tr = Trainer(cfg, mesh=make_mesh2d(4, 2), verbose=False)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+    netvis_root = os.path.join(cfg.save, "viz", "netvis")
+    dumps = sorted(os.listdir(netvis_root))
+    # 16 examples / (batch 16 advancing 8) = 2 steps; freq 1 -> 2 dumps
+    assert dumps == ["e0001_s00001", "e0001_s00002"]
