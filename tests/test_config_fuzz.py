@@ -44,3 +44,34 @@ def test_step_runs_for_config(kw, name):
         assert bool(jnp.isfinite(leaf).all())
     for leaf in jax.tree.leaves(new_state.params_d):
         assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.parametrize("kw,name", COMBOS, ids=[c[1] + "-mesh" for c in COMBOS])
+def test_gspmd_step_runs_for_config(kw, name):
+    """The same flag spread must survive the (4,2) GSPMD mesh — config
+    interactions (gate cond, penalties, bf16, guard) with the
+    partitioner are a distinct failure surface from single-device."""
+    from facegen.parallel import make_gspmd_step, make_mesh2d, shard_pool_2d, shard_state
+
+    base = dict(batch_size=8, scale=16, grayscale=True, noise_dim=16,
+                n_epoch=8, compute_dtype="float32", reference_init=False)
+    base.update(kw)
+    cfg = TrainConfig(**base).validate()
+    g, d, bundle = gan.init_gan(
+        jax.random.key(0), cfg.scale, cfg.channels, cfg.noise_dim,
+        reference_init=cfg.reference_init,
+    )
+    mesh2 = make_mesh2d(4, 2)
+    state = shard_state(init_state(cfg, bundle), mesh2)
+    pool = shard_pool_2d(
+        jax.random.randint(jax.random.key(1), (32,) + cfg.img_shape, 0, 256,
+                           jnp.uint8),
+        mesh2,
+    )
+    step = make_gspmd_step(g, d, cfg, mesh2)
+    new_state, m = step(state, jax.random.key(2), pool)
+    assert bool(jnp.isfinite(m.loss_d)) and bool(jnp.isfinite(m.loss_g))
+    for leaf in jax.tree.leaves(new_state.params_g):
+        assert bool(jnp.isfinite(jax.device_get(leaf)).all())
+    for leaf in jax.tree.leaves(new_state.params_d):
+        assert bool(jnp.isfinite(jax.device_get(leaf)).all())
