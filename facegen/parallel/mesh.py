@@ -100,6 +100,37 @@ def make_parallel_epoch(
     return jax.jit(epoch)
 
 
+def make_parallel_segment(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+):
+    """Epoch-segment fn ``(state, rng, pool, offsets)`` under the 1-D
+    shard_map mesh — the weightsVisFreq batch-cadence path
+    (train/loop.py _segmented_epoch): same per-chip semantics as
+    `make_parallel_epoch`, scanned over an arbitrary slice of the
+    epoch's global step indices."""
+    from facegen.train.step import make_segment_fn
+
+    n = mesh.shape[DATA_AXIS]
+    inner = make_segment_fn(g, d, cfg, num_shards=n, axis_name=DATA_AXIS)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def segment(state: GanState, rng: jax.Array, pool: jax.Array,
+                offsets: jax.Array):
+        rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
+        return inner(state, rng, pool, offsets)
+
+    return jax.jit(segment)
+
+
 def make_parallel_step(
     g: Module,
     d: Module,

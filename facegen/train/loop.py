@@ -183,9 +183,7 @@ class Trainer:
             with trace(cfg.trace_dir):
                 self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
                 loss_d_sum = _sync(ms.loss_d)
-        elif cfg.weights_vis_freq > 0 and (
-            self.mesh is None or "model" in self.mesh.axis_names
-        ):
+        elif cfg.weights_vis_freq > 0:
             ms = self._segmented_epoch(k_epoch, pool, n_steps)
             loss_d_sum = _sync(ms.loss_d)
         else:
@@ -214,15 +212,6 @@ class Trainer:
             "trained_d": trained,
             "not_trained_d": not_trained,
         }
-        if cfg.weights_vis_freq > 0 and self.mesh is not None and (
-            "model" not in self.mesh.axis_names
-        ):
-            # Only the 1-D shard_map mesh keeps the epoch as one
-            # program; dump once per epoch there (the single-chip and
-            # GSPMD paths dump at the true batch cadence via
-            # _segmented_epoch).
-            self._netvis_dump(pool, k_viz, n_steps)
-
         self.state = reset_epoch_stats(self.state)
         self.metrics_log.log(stats)
 
@@ -245,6 +234,12 @@ class Trainer:
 
                 self._segment_fn = make_gspmd_segment(
                     self.g, self.d, self.cfg, self.mesh, draw_n=self.pool_n
+                )
+            elif self.mesh is not None:
+                from facegen.parallel import make_parallel_segment
+
+                self._segment_fn = make_parallel_segment(
+                    self.g, self.d, self.cfg, self.mesh
                 )
             else:
                 self._segment_fn = jax.jit(make_segment_fn(self.g, self.d, self.cfg))

@@ -360,3 +360,20 @@ def test_weights_vis_freq_batch_cadence_on_gspmd_mesh(tmp_path):
     dumps = sorted(os.listdir(netvis_root))
     # 16 examples / (batch 16 advancing 8) = 2 steps; freq 1 -> 2 dumps
     assert dumps == ["e0001_s00001", "e0001_s00002"]
+
+
+def test_weights_vis_freq_batch_cadence_on_shard_map_mesh(tmp_path):
+    """Same batch cadence on the 1-D shard_map mesh (per-chip local
+    batches, psum'd updates) — no once-per-epoch fallback remains."""
+    import os
+
+    from facegen.parallel import make_mesh
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, n_epoch=16, batch_size=16, noplot=True,
+                   weights_vis_freq=1)
+    tr = Trainer(cfg, mesh=make_mesh((-1,)), verbose=False)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss_d_mean"])
+    netvis_root = os.path.join(cfg.save, "viz", "netvis")
+    assert sorted(os.listdir(netvis_root)) == ["e0001_s00001", "e0001_s00002"]
