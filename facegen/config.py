@@ -193,8 +193,10 @@ class SampleConfig:
     neighbours: bool = False      # --neighbours
     writeto: str = "samples"      # --writeto
     aws: bool = False
-    # TPU addition: 'DP[,MP]' data-parallel serving mesh (parallel/gspmd.py)
-    mesh_shape: Tuple[int, ...] = (-1,)
+    # TPU addition: 'DP[,MP]' data-parallel serving mesh (parallel/gspmd.py);
+    # empty = single-device serving (the default — unlike training, where
+    # using every chip is the right default, a sampler request is small)
+    mesh_shape: Tuple[int, ...] = ()
 
     @property
     def channels(self) -> int:

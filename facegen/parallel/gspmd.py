@@ -123,6 +123,16 @@ def shard_state(state: GanState, mesh: Mesh, min_shard: int = 64) -> GanState:
     )
 
 
+def _wrap_pad(x, multiple: int):
+    """Pad x's leading dim up to the next multiple by repeating its
+    first rows (handles x smaller than the multiple)."""
+    total = x.shape[0] + (-x.shape[0] % multiple)
+    if total == x.shape[0]:
+        return x
+    reps = -(-total // x.shape[0])
+    return jnp.concatenate([x] * reps, axis=0)[:total]
+
+
 def shard_pool_2d(pool, mesh: Mesh):
     """Shard an epoch pool's batch dim over "data" (replicated over
     "model"). Accepts a single array or a pytree of batched arrays
@@ -136,15 +146,7 @@ def shard_pool_2d(pool, mesh: Mesh):
     single-device program's."""
     n = mesh.shape[DATA_AXIS]
     sh = NamedSharding(mesh, P(DATA_AXIS))
-
-    def put(x):
-        total = x.shape[0] + (-x.shape[0] % n)
-        if total != x.shape[0]:
-            reps = -(-total // x.shape[0])  # pool may be smaller than n
-            x = jnp.concatenate([x] * reps, axis=0)[:total]
-        return jax.device_put(x, sh)
-
-    return jax.tree.map(put, pool)
+    return jax.tree.map(lambda x: jax.device_put(_wrap_pad(x, n), sh), pool)
 
 
 def _noise_sharding(mesh: Mesh) -> NamedSharding:
@@ -214,12 +216,13 @@ def gspmd_infer_jit(fn, mesh: Mesh, n_state_args: int, min_shard: int = 64):
                                   out_shardings=data)
         batch = args[-1]
         n = batch.shape[0]
-        pad = -n % dp
-        if pad:
-            reps = -(-(n + pad) // n)
-            batch = jnp.concatenate([batch] * reps, axis=0)[: n + pad]
-        out = cache["fn"](*args[:-1], batch)
-        return out[:n] if pad else out
+        padded = _wrap_pad(batch, dp)
+        if padded.shape[0] != n:
+            # the concat result is committed to its producing sharding;
+            # place it explicitly so it matches in_shardings
+            padded = jax.device_put(padded, data)
+            return cache["fn"](*args[:-1], padded)[:n]
+        return cache["fn"](*args[:-1], batch)
 
     return wrapped
 

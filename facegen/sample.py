@@ -63,7 +63,12 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True,
                  mesh=None):
     """dataset: optional (N, H, W, C) uint8 array for --neighbours.
     mesh: optional device mesh — generation, D-scoring and the NN GEMM
-    run data-parallel over its "data" axis (utils/infer.py)."""
+    run data-parallel over its "data" axis (utils/infer.py). When not
+    given, cfg.mesh_shape is authoritative (empty = single-device)."""
+    if mesh is None and cfg.mesh_shape:
+        from facegen.parallel import mesh2d_from_shape
+
+        mesh = mesh2d_from_shape(cfg.mesh_shape)
     g, d, bundle, meta = load_models(cfg)
     inf = GanInference(g, d, cfg.noise_dim, mesh=mesh)
     os.makedirs(cfg.writeto, exist_ok=True)
@@ -189,19 +194,19 @@ def main(argv=None):
     p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
     p.add_argument("--batchSize", type=int, default=16, dest="batch_size")
     p.add_argument("--aws", action="store_true")
-    p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
-                   help="serving mesh 'DP' or 'DP,MP', -1 = all devices")
+    p.add_argument("--meshShape", type=str, default="", dest="mesh_shape",
+                   help="serving mesh 'DP' or 'DP,MP' (-1 = all devices); "
+                        "default: single-device")
     a = p.parse_args(argv)
     cfg = SampleConfig(
         save=a.save, network=a.network, batch_size=a.batch_size,
         noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
         seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
         writeto=a.writeto, aws=a.aws,
-        mesh_shape=tuple(int(x) for x in str(a.mesh_shape).split(",")),
+        mesh_shape=tuple(int(x) for x in a.mesh_shape.split(",")) if a.mesh_shape
+        else (),
     )
-    from facegen.parallel import mesh2d_from_shape
-
-    run_sampling(cfg, mesh=mesh2d_from_shape(cfg.mesh_shape))
+    run_sampling(cfg)
     print("Finished.")
 
 

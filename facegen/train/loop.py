@@ -183,6 +183,11 @@ class Trainer:
             with trace(cfg.trace_dir):
                 self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
                 loss_d_sum = _sync(ms.loss_d)
+            if cfg.weights_vis_freq > 0:
+                # traced epochs run the whole-epoch program (that is what
+                # is being profiled); dump once so the cadence record
+                # isn't empty for this epoch
+                self._netvis_dump(pool, k_viz, n_steps)
         elif cfg.weights_vis_freq > 0:
             ms = self._segmented_epoch(k_epoch, pool, n_steps)
             loss_d_sum = _sync(ms.loss_d)

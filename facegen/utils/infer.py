@@ -134,7 +134,7 @@ def _nn_search(q: jax.Array, df: jax.Array, k: int):
 
 
 def nearest_neighbours(
-    queries: jax.Array, dataset, k: int = 1, batch: int = 0, mesh=None
+    queries: jax.Array, dataset, k: int = 1, mesh=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """For each query image, the k nearest dataset images by L2 distance.
 

@@ -219,7 +219,7 @@ def test_sanity_image_structure():
 def test_nearest_neighbours_exact():
     data = np.random.RandomState(0).rand(100, 4, 4, 1).astype(np.float32)
     queries = jnp.asarray(data[[7, 42, 99]] + 0.001)
-    idx, dist = nearest_neighbours(queries, data, k=1, batch=32)
+    idx, dist = nearest_neighbours(queries, data, k=1)
     np.testing.assert_array_equal(idx[:, 0], [7, 42, 99])
     assert (dist[:, 0] < 0.02).all()
 

@@ -459,8 +459,8 @@ def test_mesh_inference_matches_single_device():
     inf1 = GanInference(g, d, cfg.noise_dim, compute_dtype="float32")
     inf2 = GanInference(g, d, cfg.noise_dim, compute_dtype="float32",
                         mesh=make_mesh2d(4, 2))
-    # 300 is NOT divisible by dp=4: exercises the wrap-pad + slice path
-    for n in (64, 300):
+    # 301 is NOT divisible by dp=4: exercises the wrap-pad + slice path
+    for n in (64, 301):
         imgs1 = inf1.generate_n(b, jax.random.key(7), n)
         imgs2 = inf2.generate_n(b, jax.random.key(7), n)
         assert imgs2.shape[0] == n
