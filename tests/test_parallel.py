@@ -487,3 +487,38 @@ def test_mesh_nn_search_ignores_sentinel_padding():
     assert list(idx[:, 0]) == [3, 9, 12]  # sentinels never win
     idx0, dist0 = nearest_neighbours(queries, data)  # meshless reference
     np.testing.assert_allclose(dist[:, 0], dist0[:, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_portable_across_mesh_modes(tmp_path):
+    """A checkpoint written single-device restores into a 2-D-mesh
+    trainer and vice versa — sharding is a placement property, not part
+    of the checkpoint format."""
+    import dataclasses
+
+    from facegen.parallel import make_mesh2d
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    cfg = TrainConfig(
+        batch_size=16, scale=16, grayscale=True, noise_dim=16, n_epoch=16,
+        compute_dtype="float32", reference_init=False, synthetic_data=True,
+        save=str(tmp_path / "logs"), save_freq=1, noplot=True,
+    ).validate()
+    # single-device -> mesh
+    tr = Trainer(cfg, verbose=False)
+    tr.train_epoch(0)
+    tr.save()
+    tr2 = Trainer(dataclasses.replace(cfg, network=CKPT_NAME),
+                  mesh=make_mesh2d(4, 2), verbose=False)
+    assert int(tr2.state.epoch) == int(tr.state.epoch)
+    stats = tr2.train_epoch(1)
+    assert np.isfinite(stats["loss_d_mean"])
+    # mesh -> single-device
+    tr2.save()
+    tr3 = Trainer(dataclasses.replace(cfg, network=CKPT_NAME), verbose=False)
+    assert int(tr3.state.epoch) == int(tr2.state.epoch)
+    for a, b in zip(jax.tree.leaves(tr2.state.params_g),
+                    jax.tree.leaves(tr3.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(b))
+    stats = tr3.train_epoch(2)
+    assert np.isfinite(stats["loss_d_mean"])
