@@ -309,6 +309,7 @@ def bench_ae_denoiser(batch: int = 32) -> dict:
 
     cfg = TrainConfig(batch_size=batch, scale=32, grayscale=True, n_epoch=4096,
                       compute_dtype="bfloat16", synthetic_data=True,
+                      noise_dim=256,  # reference AE bottleneck default
                       save="/tmp/facegen_bench_ae").validate()
     src = DataSource(scale=32, channels=1, synthetic=True)
     _, _, _, hist = train_autoencoder(cfg, source=src, epochs=3, verbose=False)

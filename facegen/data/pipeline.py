@@ -77,7 +77,11 @@ class DataSource:
     def size(self) -> int:
         if self.store is not None:
             return int(self.store.shape[0]) - self.holdout
-        return 1 << 30  # synthetic: unbounded
+        # synthetic data is procedurally unbounded; report a finite
+        # epoch-scale size so "n_epoch <= 0 = use the whole dataset"
+        # stays a sane pool allocation (a 1<<30 sentinel here produced
+        # petabyte pool requests downstream)
+        return 16_384
 
     def host_gather(self, key: jax.Array, n: int) -> np.ndarray:
         """Host-side random gather from the memmap store (native

@@ -289,8 +289,11 @@ def make_gspmd_step(
     d: Module,
     cfg: TrainConfig,
     mesh: Mesh,
+    draw_n: Optional[int] = None,
 ):
     """Single train step under the 2-D mesh (the multichip dryrun's
-    tensor-parallel validation path)."""
-    step = make_train_step(g, d, cfg, noise_sharding=_noise_sharding(mesh))
+    tensor-parallel validation path). Pass the true pool size as
+    `draw_n` when the pool was wrap-padded by `shard_pool_2d`."""
+    step = make_train_step(g, d, cfg, noise_sharding=_noise_sharding(mesh),
+                           draw_n=draw_n)
     return gspmd_jit(step, mesh)

@@ -53,11 +53,12 @@ def make_mesh(mesh_shape: Sequence[int] = (-1,), devices=None) -> Mesh:
         raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
     import numpy as np
 
-    mesh_devices = np.asarray(devices[:total]).reshape(shape)
-    axis_names = (DATA_AXIS,) if len(shape) == 1 else tuple(
-        f"axis{i}" for i in range(len(shape))
-    )
-    return Mesh(mesh_devices, axis_names)
+    if len(shape) != 1:
+        raise ValueError(
+            f"make_mesh builds the 1-D data mesh; got shape {shape} — "
+            "use facegen.parallel.make_mesh2d for 'DP,MP' meshes"
+        )
+    return Mesh(np.asarray(devices[:total]).reshape(shape), (DATA_AXIS,))
 
 
 def replicate(tree, mesh: Mesh):

@@ -105,8 +105,9 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
     (parallel/gspmd.py recipe) with identical global-batch semantics."""
     from facegen.data.pipeline import make_source
 
-    noise_dim = cfg.noise_dim if cfg.noise_dim != 100 else 256  # AE default :22
-    model = AE.create_autoencoder(cfg.scale, cfg.channels, noise_dim)
+    # the reference AE bottleneck default is 256 (train_autoencoder.lua:22);
+    # the CLI injects it — an explicit --noiseDim is honored as given
+    model = AE.create_autoencoder(cfg.scale, cfg.channels, cfg.noise_dim)
     params, state, _ = model.init(jax.random.key(cfg.seed),
                                   (cfg.scale, cfg.scale, cfg.channels))
     from facegen.nn import init as winit
@@ -143,7 +144,9 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
         history.append({"epoch": e + 1, "loss": mean_loss, "seconds": dt})
         if verbose:
             print(f"<AE> epoch {e+1}: L1 loss {mean_loss:.5f} ({dt:.2f}s)")
-        if (e + 1) % 50 == 0:
+        if (e + 1) % 50 == 0 or e + 1 == n:
+            # save-every-50 (train_autoencoder.lua:227-235) plus the
+            # repo rule: a bounded run must not exit unsaved
             ckpt.save(cfg.save, AE.AE_CKPT_NAME,
                       {"params": params, "state": state, "opt": tx_opt},
                       meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
@@ -258,13 +261,17 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
         mesh = ensure_mesh2d(mesh)
     epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh)
     val_fn = make_denoiser_val(dec1, cfg)
-    source = source or make_source(cfg)
-    # TRAIN = images [1, 10000], VAL = [10001, 10256] (train_denoiser.lua:153-156)
+    # TRAIN = images [1, 10000], VAL = [10001, 10256]
+    # (train_denoiser.lua:153-156): validation must be DISJOINT from
+    # training draws — reserve the first 256 rows and slice them
+    # un-augmented, like the c2f trainer's holdout.
+    if source is None:
+        source = make_source(cfg, holdout=256)
     n_pool = min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384)
     if mesh is not None:
         n_pool -= n_pool % mesh.shape["data"]  # see train_autoencoder
     pool = source.epoch_pool(jax.random.key(cfg.seed + 2), n_pool)
-    val_pool = source.epoch_pool(jax.random.key(cfg.seed + 3), 256)
+    val_pool = source.range_pool(0, 256, jax.random.key(cfg.seed + 3))
     if mesh is not None:
         from facegen.parallel import shard_pool_2d
 

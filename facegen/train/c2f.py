@@ -33,6 +33,9 @@ from facegen.data.c2f import C2FPool, gather_triple, make_triples
 from facegen.models import c2f as c2f_models
 from facegen.nn.core import Ctx, Module
 from facegen.train import losses, metrics as M
+# same batch-advance semantics as the base engine (adversarial_c2f.lua
+# steps like adversarial.lua:54); one implementation, imported
+from facegen.train.step import steps_per_epoch  # noqa: F401
 from facegen.utils import checkpoint as ckpt
 
 
@@ -82,15 +85,6 @@ def init_c2f_state(cfg: C2FConfig, bundle: dict) -> C2FState:
     )
 
 
-def steps_per_epoch(cfg: C2FConfig, pool_size: Optional[int] = None) -> int:
-    n = cfg.n_epoch if cfg.n_epoch > 0 else (pool_size or 0)
-    half = cfg.batch_size // 2
-    count, t = 0, 1
-    while t <= n:
-        if min(cfg.batch_size, n - t + 1) >= 4:
-            count += 1
-        t += half
-    return max(count, 1)
 
 
 def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
@@ -285,8 +279,21 @@ class C2FTrainer:
     def resume(self, network: str):
         directory, name = os.path.split(network.rstrip("/"))
         directory = directory or self.cfg.save
+        if name.endswith(".net"):  # reference-style name, like Trainer.resume
+            name = name[: -len(".net")]
         # c2f resume restores OPTSTATE too (train_c2f.lua:109-116)
         self.state, meta = ckpt.load(directory, name, self.state)
+        # restore the best-parzen watermark so a resumed run cannot
+        # clobber a better historical .bestnet (its meta records parzen)
+        best_meta_path = os.path.join(directory, ckpt_name(self.cfg, best=True),
+                                      "meta.json")
+        if os.path.exists(best_meta_path):
+            import json
+
+            with open(best_meta_path) as f:
+                self.best_dist = float(
+                    json.load(f).get("parzen", float("inf"))
+                )
         self._log(f"<trainer> reloaded previously trained network: {network}")
 
     def get_samples_grid(self, key: jax.Array, n: int = 8) -> "np.ndarray":

@@ -89,8 +89,12 @@ def sanity_image(scale: int, channels: int, key: jax.Array) -> jax.Array:
     ii = jnp.arange(scale)
     img = img.at[ii, ii, 0].set(1.0)
     # reference marks (i % 4 == 0 and j % 4 == 0) off-diagonal points at
-    # 0.5 (1-based Lua indices; the visual effect is a dot lattice)
-    lattice = (ii[:, None] % 4 == 0) & (ii[None, :] % 4 == 0) & (ii[:, None] != ii[None, :])
+    # 0.5 with 1-BASED Lua indices — rows/cols 4,8,... = 0-based 3,7,...
+    lattice = (
+        (ii[:, None] % 4 == 3)
+        & (ii[None, :] % 4 == 3)
+        & (ii[:, None] != ii[None, :])
+    )
     img = img.at[:, :, 0].set(jnp.where(lattice, 0.5, img[:, :, 0]))
     return img
 

@@ -214,6 +214,10 @@ def test_sanity_image_structure():
     assert img.shape == (16, 16, 1)
     np.testing.assert_allclose(np.diag(img[:, :, 0]), 1.0)
     assert img.max() <= 1.0 and img.min() >= 0.0
+    # lattice dots at the reference's 1-based multiples of 4
+    # (nn_utils.lua:165) = 0-based rows/cols 3, 7, 11, 15, off-diagonal
+    for i, j in [(3, 7), (7, 3), (11, 15), (15, 3)]:
+        assert img[i, j, 0] == 0.5
 
 
 def test_nearest_neighbours_exact():
@@ -377,3 +381,73 @@ def test_weights_vis_freq_batch_cadence_on_shard_map_mesh(tmp_path):
     assert np.isfinite(stats["loss_d_mean"])
     netvis_root = os.path.join(cfg.save, "viz", "netvis")
     assert sorted(os.listdir(netvis_root)) == ["e0001_s00001", "e0001_s00002"]
+
+
+def test_ae_bounded_run_saves_final_checkpoint(tmp_path):
+    """A bounded AE run shorter than the save-every-50 cadence must not
+    exit unsaved (the repo rule Trainer.run documents)."""
+    from facegen.models.ae import AE_CKPT_NAME
+    from facegen.train.ae_loop import train_autoencoder
+    from facegen.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg(tmp_path, n_epoch=32, batch_size=8, scale=16, noplot=True)
+    train_autoencoder(cfg, epochs=1, verbose=False)
+    assert ckpt.exists(cfg.save, AE_CKPT_NAME)
+
+
+def test_denoiser_validation_is_heldout(tmp_path):
+    """The denoiser's validation pool must come from rows the training
+    draws cannot touch (train_denoiser.lua:153-156 disjoint split)."""
+    import dataclasses
+
+    from facegen.data.pipeline import make_source
+    from facegen.train.ae_loop import train_denoiser
+
+    cfg = tiny_cfg(tmp_path, n_epoch=32, batch_size=8, scale=16, noplot=True)
+    cfg = dataclasses.replace(cfg, synthetic_data=False,
+                              dataset_dir=str(tmp_path / "store.npy"))
+    # a tiny packed store: 300 distinct rows
+    rng = np.random.RandomState(0)
+    np.save(tmp_path / "store.npy",
+            rng.randint(0, 256, (300, 64, 64, 3), dtype=np.uint8))
+    _, _, hist = train_denoiser(cfg, epochs=1, verbose=False)
+    assert np.isfinite(hist[0]["val_loss"])
+    # the default source reserves the first 256 rows: training draws
+    # must start at the holdout boundary
+    src = make_source(cfg, holdout=256)
+    assert src.size == 300 - 256
+
+
+def test_c2f_resume_restores_best_parzen(tmp_path):
+    from facegen.train.c2f import C2FTrainer, ckpt_name
+
+    cfg = tiny_cfg_c2f(tmp_path)
+    tr = C2FTrainer(cfg, verbose=False)
+    tr.train_epoch(0)  # saves a .bestnet with meta['parzen']
+    best = tr.best_dist
+    assert np.isfinite(best)
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, network=ckpt_name(cfg))
+    tr2 = C2FTrainer(cfg2, verbose=False)
+    assert tr2.best_dist == best  # watermark restored, not inf
+
+
+def tiny_cfg_c2f(tmp_path):
+    from facegen.config import C2FConfig
+
+    return C2FConfig(batch_size=8, coarse_size=4, fine_size=8, grayscale=True,
+                     n_epoch=16, compute_dtype="float32", synthetic_data=True,
+                     seed=3, save=str(tmp_path / "logs"), save_freq=1,
+                     val_size=16, parzen_samples=8).validate()
+
+
+def test_trainer_unbounded_n_epoch_synthetic_is_sane(tmp_path):
+    """n_epoch <= 0 with synthetic data used to resolve the pool size to
+    a 1<<30 sentinel (petabyte pool request); now a finite default."""
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, n_epoch=-1, noplot=True)
+    tr = Trainer(cfg, verbose=False)
+    assert tr.pool_n == 16_384
