@@ -83,18 +83,26 @@ class DataSource:
         # petabyte pool requests downstream)
         return 16_384
 
-    def host_gather(self, key: jax.Array, n: int) -> np.ndarray:
-        """Host-side random gather from the memmap store (native
-        threaded memcpy); indices sorted for sequential-ish reads."""
-        idx = np.sort(
+    def draw_indices(self, key: jax.Array, n: int) -> np.ndarray:
+        """Random store row indices for one pool, sorted for
+        sequential-ish reads. Involves a device dispatch — call from the
+        MAIN thread only (see Prefetcher)."""
+        return np.sort(
             np.asarray(
                 jax.random.randint(key, (n,), self.holdout, self.store.shape[0])
             )
         )
+
+    def gather_indices(self, idx: np.ndarray) -> np.ndarray:
+        """Pure host work (native threaded memcpy) — safe on any thread."""
         from facegen import native
 
         return native.gather_rows(np.asarray(self.store), idx,
                                   n_threads=self.threads)
+
+    def host_gather(self, key: jax.Array, n: int) -> np.ndarray:
+        """Host-side random gather from the memmap store."""
+        return self.gather_indices(self.draw_indices(key, n))
 
     def raw_batch(self, key: jax.Array, n: int) -> jax.Array:
         """(n, 64, 64, 3) uint8 on device, pre-augmentation."""
@@ -144,9 +152,13 @@ class Prefetcher:
         self._threading = threading
         self._thread = None
         self._result = None
+        self._error = None
 
-    def _host_gather(self, key):
-        self._result = self.source.host_gather(key, self.n)
+    def _worker(self, idx):
+        try:
+            self._result = self.source.gather_indices(idx)
+        except BaseException as e:  # surfaced by get()
+            self._error = e
 
     def schedule(self, key) -> None:
         if self.source.synthetic or self.source.store is None:
@@ -158,9 +170,14 @@ class Prefetcher:
             self._thread.join()
             self._thread = None
             self._result = None
+            self._error = None
+        # index draw = a device dispatch: do it HERE on the caller
+        # thread; the worker gets pure host work (remote-tunnel TPU
+        # clients deadlock on concurrent dispatch from two threads)
         k_sel, _ = jax.random.split(key)
+        idx = self.source.draw_indices(k_sel, self.n)
         self._thread = self._threading.Thread(
-            target=self._host_gather, args=(k_sel,), daemon=True
+            target=self._worker, args=(idx,), daemon=True
         )
         self._thread.start()
 
@@ -170,7 +187,15 @@ class Prefetcher:
         if self._thread is None:
             return self.source.epoch_pool(key, self.n)
         self._thread.join()
-        raw, self._thread, self._result = self._result, None, None
+        raw, err = self._result, self._error
+        self._thread, self._result, self._error = None, None, None
+        if err is not None:
+            # surface the root cause, then retry synchronously — a
+            # transient gather failure must not silently become a
+            # "'NoneType' has no attribute" crash later
+            print(f"<prefetcher> background gather failed ({err!r}); "
+                  "rebuilding synchronously", flush=True)
+            return self.source.epoch_pool(key, self.n)
         _, k_aug = jax.random.split(key)
         return prepare_pool(
             jax.device_put(raw), k_aug, self.source.scale, self.source.channels,

@@ -25,7 +25,10 @@ def _gauss2d(gy, gx, cy, cx, sy, sx):
 
 def synthetic_faces(key: jax.Array, n: int, size: int = 64) -> jax.Array:
     """Generate (n, size, size, 3) uint8 face-like images."""
-    ks = jax.random.split(key, 10)
+    # split(key, 10)[0] kept verbatim for stream stability: committed
+    # artifacts (parity trajectories, demo checkpoints) were generated
+    # under this keying
+    k_imgs = jax.random.split(key, 10)[0]
     ys = jnp.linspace(0.0, 1.0, size)
     xs = jnp.linspace(0.0, 1.0, size)
     gx, gy = jnp.meshgrid(xs, ys)
@@ -66,5 +69,5 @@ def synthetic_faces(key: jax.Array, n: int, size: int = 64) -> jax.Array:
         noise = 0.02 * jax.random.normal(kk[7], (size, size, 3))
         return jnp.clip(img + noise, 0.0, 1.0)
 
-    imgs = jax.vmap(one)(jax.random.split(ks[0], n))
+    imgs = jax.vmap(one)(jax.random.split(k_imgs, n))
     return (imgs * 255.0 + 0.5).astype(jnp.uint8)

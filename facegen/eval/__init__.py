@@ -10,6 +10,7 @@ _EXPORTS = (
     "ks_2samp",
     "min_nn_distances",
     "parity_report",
+    "sample_report",
     "self_report",
     "spearman",
 )

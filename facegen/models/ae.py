@@ -54,31 +54,7 @@ def create_autoencoder(scale: int, channels: int, noise_dim: int = 256) -> Modul
 
 def _valid_conv(features: int, kernel: int, name: str) -> Module:
     """3x3 VALID-padding conv (train_denoiser.lua:89,92 pad=0)."""
-    import math
-
-    from facegen.nn.core import stateless
-
-    def init_params(key, in_shape):
-        h, w, c = in_shape
-        fan_in = c * kernel * kernel
-        scale = 1.0 / math.sqrt(fan_in)
-        kw, kb = jax.random.split(key)
-        params = {
-            "w": jax.random.uniform(kw, (kernel, kernel, c, features),
-                                    jnp.float32, -scale, scale),
-            "b": jax.random.uniform(kb, (features,), jnp.float32, -scale, scale),
-        }
-        return params, (h - kernel + 1, w - kernel + 1, features)
-
-    def apply_fn(params, x, ctx):
-        w = params["w"].astype(x.dtype)
-        b = params["b"].astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        return y + b
-
-    return stateless(name, init_params, apply_fn)
+    return L.conv2d(features, kernel, padding="VALID", name=name)
 
 
 def create_denoiser_encoder() -> Module:

@@ -113,7 +113,6 @@ def create_d(scale: int, channels: int) -> Module:
 def create_d32b(scale: int, channels: int) -> Module:
     """models.lua:382-416, minus the final sigmoid (folded into loss)."""
     blocks = []
-    in_c = channels
     for out_c in (64, 128, 256, 512):
         blocks += [
             L.conv2d(out_c, 3, name=f"conv{out_c}"),
@@ -121,7 +120,6 @@ def create_d32b(scale: int, channels: int) -> Module:
             L.spatial_dropout(0.2),
             L.avg_pool(2),
         ]
-        in_c = out_c
     return sequential(
         *blocks,
         L.flatten(),

@@ -153,6 +153,23 @@ def branches(*modules: Module, axis: int = -1, name: str = "branches") -> Module
     return Module(init=init, apply=apply, name=name)
 
 
+BIAS_NAMES = frozenset({"b", "bias", "beta"})
+
+
+def path_key_str(entry) -> str:
+    """String name of one pytree path entry (DictKey.key /
+    GetAttrKey.name / SequenceKey.idx) — the ONE place this getattr
+    chain lives; param classification and checkpoint keys share it."""
+    return str(getattr(entry, "key",
+                       getattr(entry, "name", getattr(entry, "idx", entry))))
+
+
+def is_bias_path(path) -> bool:
+    """True when a pytree path's leaf is a bias-like parameter
+    ('b'/'bias'/'beta' — mirrors torch's .bias keying)."""
+    return path_key_str(path[-1]) in BIAS_NAMES
+
+
 def param_count(params: Params, weights_only: bool = False) -> int:
     """Number of scalars in a parameter pytree.
 
@@ -162,12 +179,8 @@ def param_count(params: Params, weights_only: bool = False) -> int:
     """
     leaves = jax.tree_util.tree_leaves_with_path(params)
     total = 0
-    bias_names = {"b", "bias", "beta"}
     for path, leaf in leaves:
-        if weights_only:
-            last = path[-1]
-            key = getattr(last, "key", getattr(last, "name", str(last)))
-            if str(key) in bias_names:
-                continue
+        if weights_only and is_bias_path(path):
+            continue
         total += leaf.size
     return total

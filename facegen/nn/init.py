@@ -68,14 +68,13 @@ def gaussian_overwrite(
     dense/conv weights, PReLU slopes, batch-norm scales — N(0, w_std^2),
     exactly mirroring the torch loop which keys off .weight/.bias.
     """
-    bias_names = {"b", "bias", "beta"}
+    from facegen.nn.core import is_bias_path
+
     flat = jax.tree_util.tree_flatten_with_path(params)
     leaves_with_path, treedef = flat
     new_leaves = []
     for i, (path, leaf) in enumerate(leaves_with_path):
-        last = path[-1]
-        name = str(getattr(last, "key", getattr(last, "name", last)))
-        std = b_std if name in bias_names else w_std
+        std = b_std if is_bias_path(path) else w_std
         k = jax.random.fold_in(key, i)
         new_leaves.append(std * jax.random.normal(k, leaf.shape, leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
@@ -83,11 +82,9 @@ def gaussian_overwrite(
 
 def zero_biases(params: Any) -> Any:
     """weight-init.lua:70-72: biases zeroed after scheme init."""
-    bias_names = {"b", "bias", "beta"}
+    from facegen.nn.core import is_bias_path
 
     def fix(path, leaf):
-        last = path[-1]
-        name = str(getattr(last, "key", getattr(last, "name", last)))
-        return jnp.zeros_like(leaf) if name in bias_names else leaf
+        return jnp.zeros_like(leaf) if is_bias_path(path) else leaf
 
     return jax.tree_util.tree_map_with_path(fix, params)

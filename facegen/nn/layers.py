@@ -73,15 +73,19 @@ def conv2d(
     stride: int = 1,
     w_std: Optional[float] = None,
     name: str = "conv",
+    padding: str = "SAME",
 ) -> Module:
-    """2D convolution, torch-style (k-1)/2 same padding for odd kernels.
+    """2D convolution, torch-style (k-1)/2 same padding for odd kernels
+    (padding="SAME", the default) or zero padding (padding="VALID",
+    train_denoiser.lua:89,92 pad=0).
 
     Reference `nn.SpatialConvolution` / `cudnn.SpatialConvolution`
     (models.lua:34,385). Kernel layout HWIO, compute on the MXU via
     `lax.conv_general_dilated` with fp32 accumulation.
     """
     assert kernel % 2 == 1, "odd kernels only (reference layers use 3/5/7)"
-    pad = (kernel - 1) // 2
+    assert padding in ("SAME", "VALID")
+    pad = (kernel - 1) // 2 if padding == "SAME" else 0
 
     def init_params(key, in_shape):
         h, w, c = in_shape

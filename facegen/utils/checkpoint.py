@@ -35,11 +35,9 @@ FORMAT_VERSION = 1
 
 
 def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        key = getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
-        parts.append(str(key))
-    return "/".join(parts)
+    from facegen.nn.core import path_key_str
+
+    return "/".join(path_key_str(p) for p in path)
 
 
 def flatten_tree(tree: Any) -> Dict[str, np.ndarray]:

@@ -55,5 +55,12 @@ class MetricsLogger:
     def read_all(self):
         if not os.path.exists(self.path):
             return []
+
+        def parse(line):
+            try:
+                return json.loads(line) if line.strip() else None
+            except json.JSONDecodeError:  # torn concurrent append
+                return None
+
         with open(self.path) as f:
-            return [json.loads(l) for l in f if l.strip()]
+            return [r for r in map(parse, f) if r is not None]

@@ -41,6 +41,18 @@ _PAGE = """<!doctype html>
 </body></html>"""
 
 
+def _parse_line(line: str):
+    """One metrics.jsonl row, or None for blank/torn lines (the trainer
+    may be mid-append when we read)."""
+    line = line.strip()
+    if not line:
+        return None
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return None
+
+
 def _make_handler(base_dir: str, refresh: int):
     viz_dir = os.path.join(base_dir, "viz")
 
@@ -57,12 +69,14 @@ def _make_handler(base_dir: str, refresh: int):
 
         def do_GET(self):
             if self.path.startswith("/img/"):
-                name = os.path.basename(self.path[len("/img/"):])
-                path = os.path.join(viz_dir, name)
-                if not os.path.exists(path):
-                    # allow nested dirs like netvis/<layer>.png
-                    path = os.path.join(viz_dir, *self.path[len("/img/"):].split("/"))
-                if os.path.exists(path) and path.endswith(".png"):
+                # allow nested dirs like netvis/<layer>.png, but pin the
+                # resolved path inside viz_dir (".." traversal would
+                # otherwise serve any .png on the filesystem)
+                rel = self.path[len("/img/"):]
+                path = os.path.realpath(os.path.join(viz_dir, *rel.split("/")))
+                root = os.path.realpath(viz_dir)
+                inside = path == root or path.startswith(root + os.sep)
+                if inside and os.path.exists(path) and path.endswith(".png"):
                     with open(path, "rb") as f:
                         self._send(200, f.read(), "image/png")
                 else:
@@ -73,7 +87,8 @@ def _make_handler(base_dir: str, refresh: int):
                 mpath = os.path.join(base_dir, "metrics.jsonl")
                 if os.path.exists(mpath):
                     with open(mpath) as f:
-                        records = [json.loads(l) for l in f if l.strip()]
+                        records = [r for r in map(_parse_line, f)
+                                   if r is not None]
                 self._send(200, json.dumps(records).encode(),
                            "application/json")
                 return
@@ -93,9 +108,9 @@ def _make_handler(base_dir: str, refresh: int):
             mpath = os.path.join(base_dir, "metrics.jsonl")
             if os.path.exists(mpath):
                 with open(mpath) as f:
-                    lines = [l for l in f if l.strip()]
-                if lines:
-                    last = html.escape(json.dumps(json.loads(lines[-1]), indent=1))
+                    rows = [r for r in map(_parse_line, f) if r is not None]
+                if rows:
+                    last = html.escape(json.dumps(rows[-1], indent=1))
             page = _PAGE.format(refresh=refresh, dir=html.escape(base_dir),
                                 metrics=last, windows="\n".join(windows))
             self._send(200, page.encode())
