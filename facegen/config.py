@@ -67,6 +67,11 @@ class TrainConfig:
     guard_nonfinite: bool = False         # skip any update whose gradients are
                                           # non-finite (optax.apply_if_finite-
                                           # style; off by default for parity)
+    epochs_per_compile: int = 0           # compile N epochs into one program
+                                          # (train/step.py:make_multi_epoch_fn);
+                                          # 0 = auto (8 when --noplot and no
+                                          # weightsVisFreq, else 1 so per-epoch
+                                          # viz cadence is preserved)
     trace_dir: Optional[str] = None       # jax.profiler trace of epoch 1
     debug_nans: bool = False              # jax_debug_nans mode
 
@@ -179,20 +184,33 @@ class C2FConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SampleConfig:
-    """Flags of `th sample.lua` (sample.lua:9-24)."""
+    """Flags of `th sample.lua` (sample.lua:9-24).
+
+    scale/grayscale/noise_dim default to None = "use the checkpoint's
+    stored config" (models/gan.py:restore_gan — the analogue of
+    torch.load carrying the whole net, sample.lua:247-274). Explicit
+    values are checked overrides: a contradiction with the checkpoint
+    errors clearly.
+    """
 
     save: str = "logs"            # --save (checkpoint dir)
     network: str = "adversarial"  # checkpoint name (reference: adversarial.net)
     batch_size: int = 32
-    noise_dim: int = 100
-    scale: int = 32
-    grayscale: bool = False
+    noise_dim: Optional[int] = None
+    scale: Optional[int] = None
+    grayscale: Optional[bool] = None
     seed: int = 1
     gpu: int = 0                  # kept for CLI parity; ignored (TPU)
     runs: int = 1                 # --runs
     neighbours: bool = False      # --neighbours
     writeto: str = "samples"      # --writeto
     aws: bool = False
+    # c2f refinement of the best/worst/random grids (the deprecated
+    # laplacian-pyramid path, sample.lua:102-110 + c2f() :176-214)
+    c2f: bool = False
+    c2f_network: str = "adversarial_c2f_16_to_32"  # --G_c2f32 default
+    save_c2f: str = ""            # --save_c2f32 (empty = same as save)
+    c2f_tries: int = 10           # triesPerImage (sample.lua:177)
     # TPU addition: 'DP[,MP]' data-parallel serving mesh (parallel/gspmd.py);
     # empty = single-device serving (the default — unlike training, where
     # using every chip is the right default, a sampler request is small)
@@ -254,6 +272,10 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "GSPMD mesh (parallel/gspmd.py)")
     p.add_argument("--epochs", type=int, default=-1,
                    help="number of epochs to run (-1 = forever)")
+    p.add_argument("--epochsPerCompile", type=int, default=0,
+                   dest="epochs_per_compile",
+                   help="compile N epochs into one device program (amortizes "
+                        "host sync; 0 = auto: 8 under --noplot, else 1)")
     _add_bool(p, "--modernInit", False, "disable reference gaussian-overwrite init")
     _add_bool(p, "--syntheticData", False, "use procedural data (no LFW needed)")
     p.add_argument("--datasetDir", type=str, default=None, dest="dataset_dir")
@@ -302,5 +324,6 @@ def train_config_from_args(argv=None) -> TrainConfig:
         dataset_dir=args.dataset_dir,
         synthetic_data=args.syntheticData,
         epochs=args.epochs,
+        epochs_per_compile=args.epochs_per_compile,
     )
     return cfg.validate()

@@ -391,20 +391,17 @@ def self_report(
 # ---------------------------------------------------------------------------
 
 
-def _load_gan(network: str, scale: int, channels: int, noise_dim: int):
-    """Load a GAN checkpoint given 'dir/name' (reference .net tolerated)."""
-    import os
+def _load_gan(network: str, scale=None, grayscale=None, noise_dim=None):
+    """Load a GAN checkpoint given 'dir/name' (reference .net tolerated).
 
+    Architecture is rebuilt from the checkpoint's own stored config;
+    non-None arguments are checked overrides (models/gan.py:restore_gan).
+    Returns (g, d, bundle, meta, resolved).
+    """
     from facegen.models import gan
-    from facegen.utils import checkpoint as ckpt
 
-    directory, name = os.path.split(network.rstrip("/"))
-    directory = directory or "logs"
-    if name.endswith(".net"):
-        name = name[: -len(".net")]
-    g, d, bundle = gan.init_gan(jax.random.key(0), scale, channels, noise_dim)
-    bundle, meta = ckpt.load(directory, name, bundle)
-    return g, d, bundle, meta
+    return gan.restore_gan(network, default_dir="logs", scale=scale,
+                           grayscale=grayscale, noise_dim=noise_dim)
 
 
 def _load_train_images(args) -> np.ndarray:
@@ -446,9 +443,11 @@ def main(argv=None):
                    help="with --samples_b: skip train-set statistics "
                         "(use when the raw samples came from a different "
                         "training distribution)")
-    p.add_argument("--scale", type=int, default=32)
-    p.add_argument("--grayscale", action="store_true")
-    p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
+    # None = take the value from checkpoint A's own meta.json config;
+    # explicit flags are checked overrides (models/gan.py:restore_gan)
+    p.add_argument("--scale", type=int, default=None)
+    p.add_argument("--grayscale", action="store_true", default=None)
+    p.add_argument("--noiseDim", type=int, default=None, dest="noise_dim")
     p.add_argument("--n", type=int, default=1024, help="samples per side")
     p.add_argument("--n_train", type=int, default=4096,
                    help="training images to measure against")
@@ -461,11 +460,14 @@ def main(argv=None):
                    help="write the JSON report here as well as stdout")
     args = p.parse_args(argv)
 
-    channels = 1 if args.grayscale else 3
+    # checkpoint A's stored config resolves any flag left at None
+    g_a, d_a, bundle_a, _, res = _load_gan(
+        args.network_a, args.scale, args.grayscale, args.noise_dim)
+    args.scale = res["scale"]
+    args.grayscale = res["grayscale"]
+    args.noise_dim = res["noise_dim"]
     train_images = None if (args.samples_b and args.no_train_set) else (
         _load_train_images(args))
-    g_a, d_a, bundle_a, _ = _load_gan(args.network_a, args.scale, channels,
-                                      args.noise_dim)
     if args.samples_b:
         from facegen.eval.refgrid import load_grid
 
@@ -477,8 +479,10 @@ def main(argv=None):
             key=jax.random.key(args.seed),
         )
     elif args.network_b:
-        g_b, d_b, bundle_b, _ = _load_gan(args.network_b, args.scale,
-                                          channels, args.noise_dim)
+        # B must agree with A's shapes for the shared statistics; passing
+        # A's resolved values as overrides makes a mismatch error clearly
+        g_b, d_b, bundle_b, _, _ = _load_gan(
+            args.network_b, args.scale, args.grayscale, args.noise_dim)
         report = parity_report(
             g_a, d_a, bundle_a, g_b, d_b, bundle_b, train_images,
             n_samples=args.n, noise_dim_a=args.noise_dim,

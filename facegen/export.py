@@ -43,21 +43,15 @@ def export_generator(
 
 
 def export_from_checkpoint(save_dir: str, out_path: str, name: str = "adversarial") -> str:
-    """Export straight from a training checkpoint directory."""
-    import jax
-
+    """Export straight from a training checkpoint directory; the
+    architecture comes from the checkpoint's own stored config
+    (models/gan.py:restore_gan)."""
     from facegen.models import gan
-    from facegen.utils import checkpoint as ckpt
 
-    with open(os.path.join(save_dir, name, "meta.json")) as f:
-        meta = json.load(f)
-    c = meta["config"]
-    scale, channels = c["scale"], 1 if c["grayscale"] else 3
-    noise_dim = c["noise_dim"]
-    g, d, bundle = gan.init_gan(jax.random.key(0), scale, channels, noise_dim)
+    _, _, bundle, _, res = gan.restore_gan(name, default_dir=save_dir)
     sub = {"params_g": bundle["params_g"], "state_g": bundle["state_g"]}
-    sub, _ = ckpt.load(save_dir, name, sub)
-    return export_generator(sub, out_path, scale, channels, noise_dim)
+    return export_generator(sub, out_path, res["scale"], res["channels"],
+                            res["noise_dim"])
 
 
 class NumpyGenerator:

@@ -205,3 +205,29 @@ def init_c2f(key: jax.Array, fine_size: int, channels: int):
         "params_d": params_d,
         "state_d": state_d,
     }
+
+
+def restore_c2f(network: str, default_dir: str = "logs", seed: int = 0):
+    """Rebuild the c2f G/D from a checkpoint's own stored config
+    (fine_size/coarse_size/grayscale) — the c2f counterpart of
+    models/gan.py:restore_gan (sample.lua loads the whole net via
+    torch.load; our checkpoints carry the config instead).
+
+    Returns (g, d, bundle, meta, resolved) with resolved mapping
+    fine_size/coarse_size/channels/grayscale to the restored values.
+    """
+    from facegen.utils import checkpoint as ckpt
+
+    directory, name = ckpt.split_network_arg(network, default_dir)
+    stored = ckpt.load_meta(directory, name).get("config", {})
+    resolved = {
+        "fine_size": int(stored.get("fine_size", 32)),
+        "coarse_size": int(stored.get("coarse_size", 16)),
+        "grayscale": bool(stored.get("grayscale", False)),
+    }
+    resolved["channels"] = 1 if resolved["grayscale"] else 3
+    g, d, bundle = init_c2f(
+        jax.random.key(seed), resolved["fine_size"], resolved["channels"]
+    )
+    bundle, meta = ckpt.load(directory, name, bundle)
+    return g, d, bundle, meta, resolved

@@ -357,3 +357,59 @@ def init_gan(
         "state_d": state_d,
     }
     return g, d, bundle
+
+
+def restore_gan(
+    network: str,
+    default_dir: str = "logs",
+    scale=None,
+    grayscale=None,
+    noise_dim=None,
+    seed: int = 0,
+):
+    """Rebuild G/D from a checkpoint using the checkpoint's OWN config.
+
+    The reference needs no shape flags at load time because torch.load
+    carries the whole net (sample.lua:247-274); here the same holds
+    because every checkpoint stores its run config (the `opt = OPT`
+    field of adversarial.lua:328 -> utils/checkpoint.py:config_meta).
+    Explicit keyword values are checked overrides: None means "use the
+    checkpoint's value"; a non-None value that contradicts the stored
+    config raises immediately with both values spelled out (the arrays
+    could not restore into the mismatched template anyway, but that
+    error would be an opaque shape complaint).
+
+    Returns (g, d, bundle, meta, resolved) where resolved maps
+    scale/grayscale/channels/noise_dim to the values actually used.
+    """
+    import os
+
+    from facegen.utils import checkpoint as ckpt
+
+    directory, name = ckpt.split_network_arg(network, default_dir)
+    stored = ckpt.load_meta(directory, name).get("config", {})
+
+    def pick(given, key, fallback):
+        have = stored.get(key)
+        if given is not None and have is not None and given != have:
+            raise ValueError(
+                f"checkpoint {os.path.join(directory, name)!r} was trained "
+                f"with {key}={have!r} but {key}={given!r} was requested; "
+                f"drop the flag to use the checkpoint's own value"
+            )
+        if given is not None:
+            return given
+        return have if have is not None else fallback
+
+    resolved = {
+        "scale": int(pick(scale, "scale", 32)),
+        "grayscale": bool(pick(grayscale, "grayscale", False)),
+        "noise_dim": int(pick(noise_dim, "noise_dim", 100)),
+    }
+    resolved["channels"] = 1 if resolved["grayscale"] else 3
+    g, d, bundle = init_gan(
+        jax.random.key(seed), resolved["scale"], resolved["channels"],
+        resolved["noise_dim"],
+    )
+    bundle, meta = ckpt.load(directory, name, bundle)
+    return g, d, bundle, meta, resolved

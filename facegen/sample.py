@@ -32,21 +32,26 @@ from facegen.utils.infer import GanInference, nearest_neighbours
 
 
 def load_models(cfg: SampleConfig):
-    """Load G/D from a training checkpoint (sample.lua:247-274)."""
+    """Load G/D from a training checkpoint (sample.lua:247-274).
+
+    The architecture comes from the checkpoint's own meta.json config —
+    no shape flags needed, like torch.load carrying the whole net in the
+    reference; explicit cfg values act as checked overrides
+    (models/gan.py:restore_gan). Returns the RESOLVED SampleConfig as
+    the last element so callers see the shapes actually loaded.
+    """
+    import dataclasses
+
     from facegen.train.loop import CKPT_NAME
 
-    g, d, bundle = gan.init_gan(
-        jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim
+    g, d, bundle, meta, res = gan.restore_gan(
+        cfg.network or CKPT_NAME, default_dir=cfg.save, scale=cfg.scale,
+        grayscale=cfg.grayscale, noise_dim=cfg.noise_dim, seed=cfg.seed,
     )
-    name = (cfg.network or CKPT_NAME).rstrip("/")
-    name = os.path.basename(name)
-    if name.endswith(".net"):  # tolerate reference-style names
-        name = name[: -len(".net")]
-    # restore only the model sub-bundle; training-only leaves (optimizer
-    # moments, gate ring buffer) are irrelevant for sampling and may
-    # have config-dependent shapes
-    bundle, meta = ckpt.load(cfg.save, name, bundle)
-    return g, d, bundle, meta
+    cfg = dataclasses.replace(cfg, scale=res["scale"],
+                              grayscale=res["grayscale"],
+                              noise_dim=res["noise_dim"])
+    return g, d, bundle, meta, cfg
 
 
 def neighbours_grid(best: np.ndarray, matches: np.ndarray) -> np.ndarray:
@@ -69,10 +74,29 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True,
         from facegen.parallel import mesh2d_from_shape
 
         mesh = mesh2d_from_shape(cfg.mesh_shape)
-    g, d, bundle, meta = load_models(cfg)
+    g, d, bundle, meta, cfg = load_models(cfg)
     inf = GanInference(g, d, cfg.noise_dim, mesh=mesh)
     os.makedirs(cfg.writeto, exist_ok=True)
     nn_dataset = None  # uploaded/flattened once across runs
+    c2f_models_loaded = None
+    if cfg.c2f:
+        # load the refinement nets once (sample.lua:70 loadModels of the
+        # c2f pair; deprecated-but-present laplacian pyramid path)
+        from types import SimpleNamespace
+
+        from facegen.models import c2f as c2f_mod
+
+        _, _, c2f_bundle, _, c2f_res = c2f_mod.restore_c2f(
+            cfg.c2f_network, default_dir=cfg.save_c2f or cfg.save,
+            seed=cfg.seed,
+        )
+        if c2f_res["channels"] != cfg.channels:
+            raise ValueError(
+                f"c2f checkpoint {cfg.c2f_network!r} has "
+                f"{c2f_res['channels']} channels but the base checkpoint "
+                f"has {cfg.channels}"
+            )
+        c2f_models_loaded = (SimpleNamespace(**c2f_res), c2f_bundle)
     outputs = []
     for run in range(1, cfg.runs + 1):
         key = jax.random.fold_in(jax.random.key(cfg.seed), run)
@@ -93,6 +117,25 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True,
         outputs.append(save_grid(p("best"), np.asarray(best), nrow=8))
         outputs.append(save_grid(p("worst"), np.asarray(worst), nrow=8))
         outputs.append(save_grid(p("random"), rand64, nrow=8))
+
+        if c2f_models_loaded is not None:
+            # refine best/worst/random through the c2f nets and save the
+            # after grids next to the before grids (sample.lua:102-108:
+            # best_%04d_c2f_32 / worst_%04d_c2f_32 / random_%04d_c2f_32)
+            c2f_cfg, c2f_bundle = c2f_models_loaded
+            fs = c2f_cfg.fine_size
+            k_c2f = jax.random.fold_in(key, 777)
+            for li, (label, imgs64) in enumerate((
+                    ("best", np.asarray(best)),
+                    ("worst", np.asarray(worst)),
+                    ("random", rand64))):
+                refined = refine_c2f(
+                    c2f_cfg, c2f_bundle, jnp.asarray(imgs64),
+                    jax.random.fold_in(k_c2f, li), tries=cfg.c2f_tries,
+                )
+                out_name = os.path.join(
+                    cfg.writeto, f"{label}_{run:04d}_c2f_{fs}.png")
+                outputs.append(save_grid(out_name, np.asarray(refined), nrow=8))
 
         if cfg.neighbours:
             if dataset is None:
@@ -185,15 +228,29 @@ def main(argv=None):
     p.add_argument("--save_base", type=str, default="logs", dest="save")
     p.add_argument("--G_base", type=str, default="adversarial", dest="network")
     p.add_argument("--neighbours", action="store_true")
-    p.add_argument("--scale", type=int, default=32)
-    p.add_argument("--grayscale", action="store_true")
+    # shape flags default to None = use the checkpoint's stored config
+    # (sample.lua:247-274 needs none because torch.load carries the net);
+    # passing one that contradicts the checkpoint errors clearly
+    p.add_argument("--scale", type=int, default=None)
+    p.add_argument("--grayscale", action="store_true", default=None)
     p.add_argument("--writeto", type=str, default="samples")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--gpu", type=int, default=0, help="ignored; TPU backend")
     p.add_argument("--runs", type=int, default=1)
-    p.add_argument("--noiseDim", type=int, default=100, dest="noise_dim")
+    p.add_argument("--noiseDim", type=int, default=None, dest="noise_dim")
     p.add_argument("--batchSize", type=int, default=16, dest="batch_size")
     p.add_argument("--aws", action="store_true")
+    p.add_argument("--c2f", action="store_true",
+                   help="refine best/worst/random grids through a trained "
+                        "coarse-to-fine GAN (sample.lua:102-110, :176-214)")
+    p.add_argument("--G_c2f32", type=str, default="adversarial_c2f_16_to_32",
+                   dest="c2f_network",
+                   help="c2f checkpoint name or dir/name")
+    p.add_argument("--save_c2f32", type=str, default="", dest="save_c2f",
+                   help="c2f checkpoint dir (default: --save_base)")
+    p.add_argument("--c2f_tries", type=int, default=10,
+                   help="candidate diffs per image, best D score wins "
+                        "(sample.lua:177)")
     p.add_argument("--meshShape", type=str, default="", dest="mesh_shape",
                    help="serving mesh 'DP' or 'DP,MP' (-1 = all devices); "
                         "default: single-device")
@@ -202,7 +259,8 @@ def main(argv=None):
         save=a.save, network=a.network, batch_size=a.batch_size,
         noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
         seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
-        writeto=a.writeto, aws=a.aws,
+        writeto=a.writeto, aws=a.aws, c2f=a.c2f, c2f_network=a.c2f_network,
+        save_c2f=a.save_c2f, c2f_tries=a.c2f_tries,
         mesh_shape=tuple(int(x) for x in a.mesh_shape.split(",")) if a.mesh_shape
         else (),
     )

@@ -112,6 +112,30 @@ def exists(directory: str, name: str) -> bool:
     return os.path.exists(os.path.join(directory, name, "arrays.npz"))
 
 
+def split_network_arg(network: str, default_dir: str = "logs") -> Tuple[str, str]:
+    """Normalize a --network argument to (directory, name).
+
+    Accepts 'name', 'dir/name' and reference-style 'dir/name.net'
+    (sample.lua:251 loads paths.concat(save, G_base)); a bare name
+    resolves under ``default_dir``.
+    """
+    directory, name = os.path.split(network.rstrip("/"))
+    directory = directory or default_dir
+    if name.endswith(".net"):
+        name = name[: -len(".net")]
+    return directory, name
+
+
+def load_meta(directory: str, name: str) -> dict:
+    """Read a checkpoint's meta.json; {} when the checkpoint predates
+    metadata or does not exist (callers fall back to explicit flags)."""
+    path = os.path.join(directory, name, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_orbax(directory: str, name: str, state: Any, meta: Optional[dict] = None) -> str:
     """Alternative backend: orbax PyTreeCheckpointer (for users who want
     orbax's async/multi-host machinery). The npz format above remains
