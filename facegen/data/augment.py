@@ -42,29 +42,53 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
-    """Defaults = generate_dataset.py:43-48."""
+    """Defaults = generate_dataset.py:43-48 (the values the reference
+    actually trains with). The full ImageAugmenter library surface is
+    also covered: per-axis independent scaling
+    (scale_axis_equally=False, ImageAugmenter.py:162-167), separate
+    x/y translation ranges (translation_x_px/translation_y_px,
+    ImageAugmenter.py:68-90) and additive gaussian noise
+    (generate_dataset.py:122-125: img += 255*N(mean, std) before the
+    clip — in [0,1] units that is += N(mean, std))."""
 
     hflip: bool = True
     vflip: bool = False  # supported by augment() but off at every call site
     scale_min: float = 0.82
     scale_max: float = 1.10
+    scale_axis_equally: bool = True  # generate_dataset.py:45 call-site value
     rotation_deg: float = 8.0
     shear_deg: float = 0.0
-    translation_px: float = 5.0
+    translation_px: float = 5.0       # x-axis range (translation_x_px)
+    translation_y: float = -1.0       # y-axis range; <0 = same as x
     brightness: float = 0.10
+    noise_mean: float = 0.0
+    noise_std: float = 0.0            # generate_dataset.py:48 trains with 0
 
 
 def sample_affine_params(key: jax.Array, n: int, cfg: AugmentConfig) -> dict:
     """Draw per-image augmentation parameters (one key -> n images)."""
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 8)
     deg = jnp.pi / 180.0
+    scale_x = jax.random.uniform(ks[1], (n,), minval=cfg.scale_min,
+                                 maxval=cfg.scale_max)
+    if cfg.scale_axis_equally:
+        scale_y = scale_x  # ImageAugmenter.py:163-164
+    else:
+        scale_y = jax.random.uniform(ks[7], (n,), minval=cfg.scale_min,
+                                     maxval=cfg.scale_max)
+    ty_range = cfg.translation_y if cfg.translation_y >= 0 else cfg.translation_px
+    tx = jax.random.uniform(ks[4], (n,), minval=-cfg.translation_px,
+                            maxval=cfg.translation_px)
+    ty = jax.random.uniform(jax.random.fold_in(ks[4], 1), (n,),
+                            minval=-ty_range, maxval=ty_range)
     return {
         "flip": jax.random.bernoulli(ks[0], 0.5, (n,)) & jnp.bool_(cfg.hflip),
         "vflip": jax.random.bernoulli(ks[6], 0.5, (n,)) & jnp.bool_(cfg.vflip),
-        "scale": jax.random.uniform(ks[1], (n,), minval=cfg.scale_min, maxval=cfg.scale_max),
+        "scale": scale_x,
+        "scale_y": scale_y,
         "rot": jax.random.uniform(ks[2], (n,), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg) * deg,
         "shear": jax.random.uniform(ks[3], (n,), minval=-cfg.shear_deg, maxval=cfg.shear_deg) * deg,
-        "trans": jax.random.uniform(ks[4], (n, 2), minval=-cfg.translation_px, maxval=cfg.translation_px),
+        "trans": jnp.stack([tx, ty], axis=-1),
         "bright": jax.random.uniform(ks[5], (n,), minval=1.0 - cfg.brightness, maxval=1.0 + cfg.brightness),
     }
 
@@ -76,16 +100,19 @@ def inverse_affine_matrices(params: dict, height: int, width: int) -> jax.Array:
     int(w/2), int(h/2) to the origin, apply the affine, shift back; the
     whole thing inverted for sampling.
     """
-    s = params["scale"]
+    sx = params["scale"]
+    sy = params.get("scale_y", params["scale"])
     r = params["rot"]
     sh = params["shear"]
     tx = params["trans"][:, 0]
     ty = params["trans"][:, 1]
-    # forward 2x2 block (skimage AffineTransform convention)
-    a = s * jnp.cos(r)
-    b = -s * jnp.sin(r + sh)
-    c = s * jnp.sin(r)
-    d = s * jnp.cos(r + sh)
+    # forward 2x2 block (skimage AffineTransform convention; per-axis
+    # scale sx/sy as in tf.AffineTransform(scale=(sx, sy)),
+    # ImageAugmenter.py:187-190)
+    a = sx * jnp.cos(r)
+    b = -sy * jnp.sin(r + sh)
+    c = sx * jnp.sin(r)
+    d = sy * jnp.cos(r + sh)
     det = a * d - b * c
     ia = d / det
     ib = -b / det
@@ -161,11 +188,18 @@ def augment_batch(
         x = images.astype(jnp.float32) / 255.0
     else:
         x = images.astype(jnp.float32)
-    params = sample_affine_params(key, n, cfg)
+    k_params, k_noise = jax.random.split(key)
+    params = sample_affine_params(k_params, n, cfg)
     flip = params["flip"][:, None, None, None]
     x = jnp.where(flip, x[:, :, ::-1, :], x)
     vflip = params["vflip"][:, None, None, None]
     x = jnp.where(vflip, x[:, ::-1, :, :], x)
-    x = jnp.clip(x * params["bright"][:, None, None, None], 0.0, 1.0)
+    x = x * params["bright"][:, None, None, None]
+    if cfg.noise_std > 0:
+        # generate_dataset.py:122-125: += 255*N(mean,std) on the 0-255
+        # scale, i.e. += N(mean,std) in [0,1] units, before the clip
+        x = x + (cfg.noise_mean
+                 + cfg.noise_std * jax.random.normal(k_noise, x.shape))
+    x = jnp.clip(x, 0.0, 1.0)
     mats = inverse_affine_matrices(params, h, w)
     return warp_bilinear(x, mats)

@@ -62,19 +62,29 @@ def load_and_crop(path: str, crop: bool = True) -> np.ndarray:
 
 
 def build_dataset(
-    lfw_dir: str,
+    lfw_dir,
     out_path: str,
     limit: Optional[int] = None,
     workers: int = 8,
     crop: bool = True,
+    exts: Optional[Tuple[str, ...]] = None,
 ) -> str:
     """Build the packed uint8 store: (N, 64, 64, 3) .npy at out_path.
+
+    ``lfw_dir`` may be a single directory or a list of directories
+    (dataset.lua:18-22 setDirs takes a list); ``exts`` restricts the
+    file extensions scanned (dataset.lua:28-30 setFileExtension).
 
     Decoding is fanned out over host threads (PIL releases the GIL in
     its C decoder) — the analogue of the reference's single-threaded
     Python 2 loop (generate_dataset.py:41), minus the 20x disk blow-up.
     """
-    paths = scan_image_paths([lfw_dir])
+    dirs = [lfw_dir] if isinstance(lfw_dir, (str, os.PathLike)) else list(lfw_dir)
+    if exts:
+        paths = scan_image_paths(dirs, tuple(e if e.startswith(".") else "." + e
+                                             for e in exts))
+    else:
+        paths = scan_image_paths(dirs)
     if limit:
         paths = paths[:limit]
     if not paths:
@@ -129,13 +139,20 @@ def main(argv=None):
         description="Pack LFW into a uint8 npy store "
         "(replaces generate_dataset.py --path=/lfw)"
     )
-    p.add_argument("--path", required=True, help="LFW root directory")
+    p.add_argument("--path", required=True, action="append",
+                   help="image root directory; repeatable "
+                        "(dataset.lua:18-22 setDirs list)")
     p.add_argument("--out", default="dataset/lfw64.npy")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--no-crop", action="store_true")
+    p.add_argument("--ext", action="append", default=None,
+                   help="file extension(s) to scan, e.g. --ext jpg "
+                        "(dataset.lua:28-30 setFileExtension); default: "
+                        "jpg/jpeg/png/ppm/pgm")
     args = p.parse_args(argv)
-    out = build_dataset(args.path, args.out, args.limit, args.workers, not args.no_crop)
+    out = build_dataset(args.path, args.out, args.limit, args.workers,
+                        not args.no_crop, exts=args.ext)
     print(f"wrote {out}")
 
 

@@ -95,6 +95,60 @@ def test_augment_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_per_axis_scale_draws_independent_scales():
+    cfg = A.AugmentConfig(scale_min=0.5, scale_max=1.5,
+                          scale_axis_equally=False)
+    p = A.sample_affine_params(jax.random.key(0), 64, cfg)
+    sx, sy = np.asarray(p["scale"]), np.asarray(p["scale_y"])
+    assert not np.allclose(sx, sy)
+    assert sx.min() >= 0.5 and sx.max() <= 1.5
+    assert sy.min() >= 0.5 and sy.max() <= 1.5
+    # equal-axis mode ties them (ImageAugmenter.py:163-164)
+    p_eq = A.sample_affine_params(
+        jax.random.key(0), 64, A.AugmentConfig(scale_axis_equally=True))
+    np.testing.assert_array_equal(np.asarray(p_eq["scale"]),
+                                  np.asarray(p_eq["scale_y"]))
+
+
+def test_per_axis_scale_matrix_geometry():
+    """sx=2, sy=1 doubles x-extent only (pure-scale golden check)."""
+    params = {
+        "scale": jnp.array([2.0]), "scale_y": jnp.array([1.0]),
+        "rot": jnp.array([0.0]), "shear": jnp.array([0.0]),
+        "trans": jnp.array([[0.0, 0.0]]),
+    }
+    img = np.zeros((1, 17, 17, 1), np.float32)
+    img[0, 8, 6, 0] = 1.0  # 2 px left of center
+    mats = A.inverse_affine_matrices(params, 17, 17)
+    out = np.asarray(A.warp_bilinear(jnp.asarray(img), mats))[0, :, :, 0]
+    # x stretches around the center (8,8): source x=6 -> output x=4;
+    # y unchanged
+    assert out[8, 4] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_additive_gaussian_noise():
+    """generate_dataset.py:122-125 noise semantics: += N(mean, std) in
+    [0,1] units before the clip; off by default."""
+    cfg_still = A.AugmentConfig(
+        hflip=False, scale_min=1.0, scale_max=1.0, rotation_deg=0.0,
+        translation_px=0.0, brightness=0.0,
+    )
+    imgs = jnp.full((32, 16, 16, 1), 128, jnp.uint8)
+    base = np.asarray(A.augment_batch(jax.random.key(1), imgs, cfg_still))
+    np.testing.assert_allclose(base, 128 / 255.0, atol=1e-5)
+
+    import dataclasses
+
+    cfg_noise = dataclasses.replace(cfg_still, noise_std=0.05)
+    noisy = np.asarray(A.augment_batch(jax.random.key(1), imgs, cfg_noise))
+    resid = noisy - 128 / 255.0
+    assert abs(resid.mean()) < 0.005          # mean 0
+    assert abs(resid.std() - 0.05) < 0.005    # std ~ noise_std
+    cfg_mean = dataclasses.replace(cfg_still, noise_std=0.01, noise_mean=0.1)
+    shifted = np.asarray(A.augment_batch(jax.random.key(1), imgs, cfg_mean))
+    assert abs(shifted.mean() - (128 / 255.0 + 0.1)) < 0.005
+
+
 def test_hflip_only_flips_some_images():
     cfg = A.AugmentConfig(
         hflip=True, scale_min=1.0, scale_max=1.0, rotation_deg=0.0,
@@ -175,6 +229,32 @@ def test_lfw_builder_roundtrip(tmp_path):
     assert len(paths) == 4
 
 
+def test_lfw_builder_multi_dir_and_ext(tmp_path):
+    """Packer accepts a directory LIST and an extension filter
+    (dataset.lua:18-30 setDirs/setFileExtension)."""
+    from PIL import Image
+
+    from facegen.data import lfw
+
+    rng = np.random.RandomState(1)
+    for d, n, ext in (("a", 2, "jpg"), ("b", 3, "png")):
+        dd = tmp_path / d
+        dd.mkdir()
+        for i in range(n):
+            img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+            Image.fromarray(img).save(dd / f"img_{i}.{ext}")
+    out = lfw.build_dataset([str(tmp_path / "a"), str(tmp_path / "b")],
+                            str(tmp_path / "both.npy"))
+    assert lfw.load_store(out).shape == (5, 64, 64, 3)
+    out = lfw.build_dataset([str(tmp_path / "a"), str(tmp_path / "b")],
+                            str(tmp_path / "jpg_only.npy"), exts=("jpg",))
+    assert lfw.load_store(out).shape == (2, 64, 64, 3)
+    # CLI: repeated --path and --ext
+    lfw.main(["--path", str(tmp_path / "a"), "--path", str(tmp_path / "b"),
+              "--ext", "png", "--out", str(tmp_path / "cli.npy")])
+    assert lfw.load_store(str(tmp_path / "cli.npy")).shape == (3, 64, 64, 3)
+
+
 def test_warp_matches_scipy_affine_transform():
     """Independent-oracle golden test (VERDICT r1 weak #3): skimage (the
     reference's warp backend, ImageAugmenter.py:185-197) is not
@@ -196,9 +276,17 @@ def test_warp_matches_scipy_affine_transform():
     rng = np.random.RandomState(7)
     img = rng.rand(1, h, w, 1).astype(np.float32)
 
+    # second family: per-axis independent scaling + separate y-translation
+    # (ImageAugmenter.py:162-167 scale_axis_equally=False; :68-90
+    # translation_x_px/translation_y_px) — the lib-generality surface
+    cfg_b = AugmentConfig(hflip=False, shear_deg=4.0,
+                          scale_axis_equally=False, translation_y=2.0)
     cfg = AugmentConfig(hflip=False, shear_deg=4.0)
     for draw in range(10):
-        params = sample_affine_params(jax.random.key(draw), 1, cfg)
+        c = cfg if draw < 5 else cfg_b
+        params = sample_affine_params(jax.random.key(draw), 1, c)
+        if draw >= 5:
+            assert abs(float(params["trans"][0, 1])) <= 2.0
         mats = np.asarray(inverse_affine_matrices(params, h, w))
         ours = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(mats)))
 
