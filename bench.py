@@ -172,8 +172,17 @@ def _model_flops_per_epoch(g, d, bundle, cfg) -> float:
     return step_flops * steps_per_epoch(cfg)
 
 
-def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 3):
+def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 3,
+                      multi_epoch: bool = True):
     """(images/sec, mfu) of the jitted whole-epoch facegen train loop.
+
+    ``multi_epoch=True`` (the default, matching the Trainer's
+    --epochsPerCompile product path) compiles all timed epochs into ONE
+    device program (train/step.py:make_multi_epoch_fn): a single host
+    dispatch + sync for the whole measurement, which removes the
+    remote-tunnel round-trip jitter BASELINE.md attributed to per-epoch
+    dispatch. ``multi_epoch=False`` reproduces the round-2 per-epoch
+    measurement loop.
 
     MFU = analytic model FLOPs per epoch (`_model_flops_per_epoch`) /
     measured epoch wall-clock / chip peak bf16 FLOP/s — "fast for the
@@ -192,7 +201,7 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
     from facegen.data.synthetic import synthetic_faces
     from facegen.data.pipeline import prepare_pool
     from facegen.models import gan
-    from facegen.train.step import init_state, make_epoch_fn
+    from facegen.train.step import init_state, make_epoch_fn, make_multi_epoch_fn
 
     cfg = TrainConfig(
         batch_size=batch,
@@ -209,7 +218,6 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
     state = init_state(cfg, bundle)
     raw = synthetic_faces(jax.random.key(1), 4096)
     pool = prepare_pool(raw, jax.random.key(2), cfg.scale, cfg.channels)
-    epoch = jax.jit(make_epoch_fn(g, d, cfg))
 
     def sync(x):
         # block_until_ready is a no-op on some remote-tunnel backends
@@ -220,13 +228,24 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
         flops_per_epoch = _model_flops_per_epoch(g, d, bundle, cfg)
     except Exception:
         flops_per_epoch = 0.0
-    state, ms = epoch(state, jax.random.key(3), pool)  # warmup run
-    sync(ms.loss_d)
-    t0 = time.perf_counter()
-    for e in range(timed_epochs):
-        state, ms = epoch(state, jax.random.fold_in(jax.random.key(4), e), pool)
-    last = sync(ms.loss_d)
-    dt = time.perf_counter() - t0
+    if multi_epoch:
+        multi = jax.jit(make_multi_epoch_fn(g, d, cfg, timed_epochs))
+        pools = jnp.broadcast_to(pool, (timed_epochs,) + pool.shape)
+        state, summaries = multi(state, jax.random.key(3), pools)  # warmup
+        sync(summaries.loss_d)
+        t0 = time.perf_counter()
+        state, summaries = multi(state, jax.random.key(4), pools)
+        last = sync(summaries.loss_d)
+        dt = time.perf_counter() - t0
+    else:
+        epoch = jax.jit(make_epoch_fn(g, d, cfg))
+        state, ms = epoch(state, jax.random.key(3), pool)  # warmup run
+        sync(ms.loss_d)
+        t0 = time.perf_counter()
+        for e in range(timed_epochs):
+            state, ms = epoch(state, jax.random.fold_in(jax.random.key(4), e), pool)
+        last = sync(ms.loss_d)
+        dt = time.perf_counter() - t0
     ips = n_epoch * timed_epochs / dt
     assert last == last and abs(last) < 1e9, "non-finite loss in bench"
     peak = _chip_peak_tflops(jax.devices()[0]) * 1e12
@@ -408,7 +427,7 @@ def main():
     import jax
 
     dev = jax.devices()[0]
-    tpu_ips, mfu = bench_facegen_tpu()
+    tpu_ips, mfu = bench_facegen_tpu(multi_epoch="--per-epoch" not in sys.argv)
     log(f"facegen: {tpu_ips:.1f} images/sec/chip on {dev.device_kind}"
         + (f" (MFU {100*mfu:.2f}%)" if mfu else ""))
     baseline_ips = _join_baseline(proc)

@@ -62,15 +62,31 @@ def make_mesh(mesh_shape: Sequence[int] = (-1,), devices=None) -> Mesh:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree replicated on every mesh device."""
+    """Place a pytree replicated on every mesh device.
+
+    On a multi-process mesh every process holds the full host value
+    (identical seeds/checkpoints), so each process materializes only its
+    addressable replicas (parallel/multihost.py:global_put_tree)."""
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        from facegen.parallel.multihost import global_put_tree
+
+        return global_put_tree(tree, mesh, P())
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
 
 
 def shard_pool(pool: jax.Array, mesh: Mesh) -> jax.Array:
-    """Shard the epoch pool along the batch dim over the data axis."""
+    """Shard the epoch pool along the batch dim over the data axis.
+
+    Multi-process meshes take the same route as `replicate`: the pool is
+    built identically on every process (shared seed), and each process
+    uploads only the rows its local chips own."""
     n = mesh.shape[DATA_AXIS]
     usable = (pool.shape[0] // n) * n
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        from facegen.parallel.multihost import global_put
+
+        return global_put(pool[:usable], mesh, P(DATA_AXIS))
     return jax.device_put(pool[:usable], NamedSharding(mesh, P(DATA_AXIS)))
 
 
@@ -99,6 +115,45 @@ def make_parallel_epoch(
         return inner(state, rng, pool)
 
     return jax.jit(epoch)
+
+
+def make_parallel_multi_epoch(
+    g: Module,
+    d: Module,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    n_epochs: int,
+    pool_size: Optional[int] = None,
+):
+    """Multi-epoch compiled driver under the 1-D data mesh:
+    (state, rngs, pools) -> (state, stacked EpochSummary), pools
+    (n_epochs, P, H, W, C) sharded on the pool axis, per-epoch keys
+    replicated and folded by chip index inside the shard — the
+    shard_map analogue of train/step.py:make_multi_epoch_fn."""
+    from facegen.train.step import make_multi_epoch_fn
+
+    n = mesh.shape[DATA_AXIS]
+    inner = make_multi_epoch_fn(g, d, cfg, n_epochs, num_shards=n,
+                                axis_name=DATA_AXIS, pool_size=pool_size)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def multi(state: GanState, rngs: jax.Array, pools: jax.Array):
+        if jnp.ndim(rngs) == 0:  # scalar key -> per-epoch keys first
+            rngs = jax.vmap(
+                lambda i: jax.random.fold_in(rngs, i)
+            )(jnp.arange(n_epochs))
+        rngs = jax.vmap(
+            lambda k: jax.random.fold_in(k, lax.axis_index(DATA_AXIS))
+        )(rngs)
+        return inner(state, rngs, pools)
+
+    return jax.jit(multi)
 
 
 def make_parallel_segment(

@@ -87,6 +87,24 @@ class Trainer:
         else:
             self.epoch_fn = jax.jit(make_epoch_fn(self.g, self.d, cfg,
                                                   pool_size=pool_n))
+        # multi-epoch compiled driver (train/step.py:make_multi_epoch_fn):
+        # one device program per N epochs amortizes host synchronization
+        # (the dominant per-epoch overhead on high-latency-attach
+        # backends). Auto mode engages it only when nothing needs a
+        # per-epoch host visit (no viz, no segmented netvis cadence).
+        epc = cfg.epochs_per_compile
+        if epc <= 0:
+            epc = 8 if (cfg.noplot and cfg.weights_vis_freq == 0) else 1
+        if epc > 1 and cfg.weights_vis_freq > 0:
+            self._log("<trainer> epochsPerCompile ignored: weightsVisFreq "
+                      "needs the segmented per-epoch path")
+            epc = 1
+        if epc > 1 and mesh is not None and "model" in mesh.axis_names:
+            self._log("<trainer> epochsPerCompile > 1 not supported on the "
+                      "2-D GSPMD mesh; running per-epoch")
+            epc = 1
+        self.epochs_per_compile = epc
+        self._multi_fns = {}
         # fixed noise vectors for comparable per-epoch samples
         # (train.lua:195: VIS_NOISE_INPUTS = createNoiseInputs(100))
         self.fixed_noise = self.inf.noise(jax.random.key(cfg.seed + 999), 100)
@@ -139,16 +157,22 @@ class Trainer:
         return load_denoiser_fn(self.cfg)
 
     # -- training ---------------------------------------------------------
+    def _epoch_keys(self, epoch_idx: int):
+        """Per-epoch (k_pool, k_epoch, k_viz) — one derivation shared by
+        the sequential and multi-epoch paths so both modes consume the
+        same RNG stream."""
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed),
+                                 10_000 + epoch_idx)
+        return jax.random.split(key, 3)
+
     def train_epoch(self, epoch_idx: int) -> dict:
         cfg = self.cfg
-        key = jax.random.fold_in(jax.random.key(cfg.seed), 10_000 + epoch_idx)
-        k_pool, k_epoch, k_viz = jax.random.split(key, 3)
+        k_pool, k_epoch, k_viz = self._epoch_keys(epoch_idx)
 
         self._log("Loading new training data...")
         pool = self.prefetcher.get(k_pool)
         # overlap the NEXT epoch's pool build with this epoch's training
-        next_key = jax.random.fold_in(jax.random.key(cfg.seed), 10_001 + epoch_idx)
-        self.prefetcher.schedule(jax.random.split(next_key, 3)[0])
+        self.prefetcher.schedule(self._epoch_keys(epoch_idx + 1)[0])
         if self.mesh is not None and "model" in self.mesh.axis_names:
             from facegen.parallel import shard_pool_2d
 
@@ -224,6 +248,107 @@ class Trainer:
             self.save()
         return stats
 
+    def _multi_fn(self, n: int):
+        """Compiled n-epoch driver, cached per chunk size (a bounded
+        run's tail chunk pays one extra compile, like the segmented
+        path's remainder)."""
+        if n not in self._multi_fns:
+            from facegen.train.step import make_multi_epoch_fn
+
+            if self.mesh is not None:
+                from facegen.parallel import make_parallel_multi_epoch
+
+                self._multi_fns[n] = make_parallel_multi_epoch(
+                    self.g, self.d, self.cfg, self.mesh, n,
+                    pool_size=self.pool_n)
+            else:
+                self._multi_fns[n] = jax.jit(make_multi_epoch_fn(
+                    self.g, self.d, self.cfg, n, pool_size=self.pool_n))
+        return self._multi_fns[n]
+
+    def train_epochs_chunk(self, start_idx: int, n: int) -> list:
+        """Train ``n`` epochs in ONE device program (--epochsPerCompile;
+        train/step.py:make_multi_epoch_fn). Per-epoch keys and pools are
+        built exactly as the sequential path builds them, so the RNG
+        stream matches train_epoch-by-train_epoch; one metrics.jsonl row
+        is still written per epoch. Visualization (unless --noplot) runs
+        once per chunk, at the chunk boundary."""
+        cfg = self.cfg
+        keys = [self._epoch_keys(start_idx + j) for j in range(n)]
+
+        self._log("Loading new training data...")
+        pools = []
+        for j in range(n):
+            pool = self.prefetcher.get(keys[j][0])
+            self.prefetcher.schedule(self._epoch_keys(start_idx + j + 1)[0])
+            pools.append(pool)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nshards = self.mesh.shape["data"]
+            usable = (pools[0].shape[0] // nshards) * nshards
+            stacked = jnp.stack([p[:usable] for p in pools])
+            stacked = jax.device_put(
+                stacked, NamedSharding(self.mesh, P(None, "data")))
+        else:
+            stacked = jnp.stack(pools)
+
+        if not cfg.noplot:
+            report = visualize_progress(
+                self.inf, self.bundle(), self.fixed_noise, pools[0],
+                os.path.join(cfg.save, "viz"), keys[0][2],
+                denoiser=self.denoiser, epoch=int(self.state.epoch),
+                window=cfg.window,
+            )
+            self._log(
+                f"<viz> probe ranks/300: real={report['real_probe_rank']} "
+                f"synth={report['synth_probe_rank']}"
+            )
+        del pools
+
+        epoch_before = int(self.state.epoch)
+        self._log(
+            f"<trainer> Epochs #{epoch_before}-#{epoch_before + n - 1} "
+            f"[batchSize = {cfg.batch_size}, epochsPerCompile = {n}]"
+        )
+        k_epochs = jnp.stack([k[1] for k in keys])
+        t0 = time.perf_counter()
+        self.state, summaries = self._multi_fn(n)(self.state, k_epochs, stacked)
+        _sync(summaries.loss_d)  # forces completion
+        dt = time.perf_counter() - t0
+
+        n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
+        self._log(f"<trainer> time required for {n} epochs = {dt:.3f} s")
+        self._log(
+            f"<trainer> time to learn 1 sample = {1000*dt/(n*n_examples):.4f} ms")
+        all_stats = []
+        for j in range(n):
+            trained = int(summaries.trained_d[j])
+            not_trained = int(summaries.not_trained_d[j])
+            self._log(f"<trainer> epoch #{epoch_before + j}: trained D "
+                      f"{trained} of {trained + not_trained} times.")
+            self._log(M.format_confusion(np.asarray(summaries.confusion[j])))
+            stats = {
+                "epoch": epoch_before + j,
+                "seconds": dt / n,
+                "images_per_sec": n * n_examples / dt,
+                "loss_d_mean": float(summaries.loss_d[j]),
+                "loss_g_mean": float(summaries.loss_g[j]),
+                "acc_d_mean": float(summaries.acc_d[j]),
+                "total_valid": float(summaries.total_valid[j]),
+                "trained_d": trained,
+                "not_trained_d": not_trained,
+            }
+            self.metrics_log.log(stats)
+            all_stats.append(stats)
+
+        # save once per chunk if any saveFreq boundary was crossed
+        # (adversarial.lua:319 saves every saveFreq epochs; intermediate
+        # states no longer exist on host, so the latest state is saved)
+        if any((epoch_before + j) % cfg.save_freq == 0 for j in range(n)):
+            self.save()
+        return all_stats
+
     def _segmented_epoch(self, rng, pool, n_steps: int):
         """Run one epoch as weights_vis_freq-sized segments, dumping D
         activation grids at each boundary (adversarial.lua:296-299's
@@ -286,14 +411,23 @@ class Trainer:
         """The `while true` loop (train.lua:199-208); epochs=None runs
         forever like the reference. A finite run checkpoints once more at
         the end (the reference only saves every saveFreq epochs because
-        it never terminates; a bounded run must not exit unsaved)."""
+        it never terminates; a bounded run must not exit unsaved).
+
+        With epochsPerCompile > 1, epochs are trained in compiled chunks
+        (train_epochs_chunk) but still yielded one stats dict per epoch.
+        """
         n = epochs if epochs is not None else (
             self.cfg.epochs if self.cfg.epochs > 0 else None
         )
+        epc = max(self.epochs_per_compile, 1)
         i = 0
         while n is None or i < n:
-            yield self.train_epoch(i)
-            i += 1
+            chunk = epc if n is None else min(epc, n - i)
+            if chunk <= 1:
+                yield self.train_epoch(i)
+            else:
+                yield from self.train_epochs_chunk(i, chunk)
+            i += chunk
         if n is not None and (int(self.state.epoch) - 1) % self.cfg.save_freq != 0:
             self.save()
 
@@ -304,9 +438,20 @@ class Trainer:
 
 def main(argv=None):
     from facegen.config import train_config_from_args
+    from facegen.parallel.multihost import maybe_initialize
 
+    # env-gated multi-process entry (FACEGEN_COORDINATOR et al.); must
+    # run before the first jax.devices() touch binds the backend client.
+    # A no-op for ordinary single-process runs (parallel/multihost.py).
+    distributed = maybe_initialize()
     cfg = train_config_from_args(argv)
     mesh = None
+    if distributed and not cfg.mesh_shape:
+        # multi-process runs default to DP over every global chip —
+        # launching processes IS the opt-in
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mesh_shape=(-1,))
     if len(jax.devices()) > 1:
         if len(cfg.mesh_shape) == 2:
             # 'DP,MP' (incl. MP=1 and DP=-1) = the GSPMD mesh

@@ -357,6 +357,7 @@ class EpochSummary(NamedTuple):
     total_valid: jax.Array  # confusion accuracy over the epoch
     trained_d: jax.Array
     not_trained_d: jax.Array
+    confusion: jax.Array    # (2,2) i32 per-epoch confusion matrix
 
 
 def make_multi_epoch_fn(
@@ -374,14 +375,26 @@ def make_multi_epoch_fn(
     per epoch (train.lua:201). Per-epoch stats reset inside the scan, so
     semantics match n_epochs sequential `make_epoch_fn` calls while host
     synchronization cost is paid once per n_epochs (the production fast
-    path on high-latency-attach backends).
+    path on high-latency-attach backends; Trainer wires it via
+    --epochsPerCompile, and bench.py uses it for the headline number).
+
+    ``rng`` may be a single key (per-epoch keys derived by
+    ``fold_in(rng, i)``) or a stacked (n_epochs,) key array — the
+    Trainer passes the exact per-epoch keys its sequential path would
+    use, so the two modes produce the same RNG stream.
     """
     epoch = make_epoch_fn(g, d, cfg, num_shards, axis_name, pool_size)
 
     def multi(state: GanState, rng: jax.Array, pools: jax.Array):
+        if jnp.ndim(rng) == 0:
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(n_epochs)
+            )
+        else:
+            keys = rng
         def body(carry, inp):
-            i, pool = inp
-            st, ms = epoch(carry, jax.random.fold_in(rng, i), pool)
+            k, pool = inp
+            st, ms = epoch(carry, k, pool)
             summary = EpochSummary(
                 loss_d=jnp.mean(ms.loss_d),
                 loss_g=jnp.mean(ms.loss_g),
@@ -389,12 +402,11 @@ def make_multi_epoch_fn(
                 total_valid=metrics.total_valid(st.confusion),
                 trained_d=st.trained_d,
                 not_trained_d=st.not_trained_d,
+                confusion=st.confusion,
             )
             return reset_epoch_stats(st), summary
 
-        state, summaries = lax.scan(
-            body, state, (jnp.arange(n_epochs), pools)
-        )
+        state, summaries = lax.scan(body, state, (keys, pools))
         return state, summaries
 
     return multi
