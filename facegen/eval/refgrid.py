@@ -42,3 +42,57 @@ def load_grid(path: str, tile: int = 32, grayscale: bool = False) -> np.ndarray:
     im = Image.open(path)
     im = im.convert("L" if grayscale else "RGB")
     return slice_grid(np.asarray(im), tile)
+
+
+def build_store_from_grid(
+    grid_path: str, out_path: str, tile: int = 32, out_size: int = 64
+) -> str:
+    """Slice a published sample grid into a packed training store.
+
+    Turns e.g. the reference's `images/color_random1024.jpg` (1024
+    random samples of its trained model, README.md:11-23) into the
+    (N, 64, 64, 3) uint8 .npy store the data pipeline trains from
+    (data/lfw.py:build_dataset format) — the route to an
+    apples-to-apples quality comparison on this box: train on the
+    reference's own face distribution, then score both sample
+    populations against that shared training set (eval/parity.py).
+
+    Tiles are upsampled tile->out_size with PIL bilinear, matching the
+    dataset.lua:90 image.load+scale route every stored image later
+    takes back down to the training scale.
+    """
+    import os
+
+    from PIL import Image
+
+    tiles = load_grid(grid_path, tile)  # (N, tile, tile, C) float [0,1]
+    n = tiles.shape[0]
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    for i in range(n):
+        im = Image.fromarray(
+            np.clip(tiles[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        ).convert("RGB")
+        out[i] = np.asarray(
+            im.resize((out_size, out_size), Image.BILINEAR)
+        )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.save(out_path, out)
+    return out_path
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="slice a published sample grid into a packed "
+                    "(N, 64, 64, 3) uint8 training store")
+    p.add_argument("--grid", required=True, help="grid image path")
+    p.add_argument("--out", default="dataset/refgrid64.npy")
+    p.add_argument("--tile", type=int, default=32)
+    args = p.parse_args(argv)
+    out = build_store_from_grid(args.grid, args.out, args.tile)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,58 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
+# Smoke tier (`pytest -m smoke`): one or two quick tests per subsystem,
+# the <5-minute-cold gate for iterating; the full suite stays the
+# pre-merge bar. Centralized here (rather than decorators spread over
+# 19 files) so the tier reads as one list.
+_SMOKE = {
+    # data layer
+    "test_warp_matches_scipy_affine_transform",
+    "test_prepare_pool_shapes[32-3]",
+    "test_datasource_store_and_holdout",
+    # nn layers / kernels
+    "test_conv2d_same_padding_matches_numpy",
+    "test_subpixel_conv_factor2_reference_view_order",
+    "test_fused_matches_composed[4-8-8-3]",
+    "test_prelu_shared_slope_fd",
+    # models
+    "test_g32_parameter_count_matches_reference",
+    "test_g_output_shape_and_range[32-3]",
+    "test_g_flat_variant",
+    "test_g32_forward_matches_torch",
+    # training engine
+    "test_single_step_updates_both_networks",
+    "test_gate_closes_when_accuracy_exceeds_max",
+    "test_epoch_scan_runs_and_improves_d",
+    "test_multi_epoch_matches_sequential",
+    # trainer / tools / checkpointing
+    "test_checkpoint_roundtrip",
+    "test_trainer_epoch_and_resume",
+    "test_sampler_end_to_end",
+    "test_restore_gan_zero_flags",
+    "test_numpy_generator_matches_jax",
+    # c2f family
+    "test_make_triples_reconstruction",
+    "test_c2f_g_shapes_and_signed_output",
+    # parallel / multihost
+    "test_parallel_step_runs_and_updates",
+    "test_gspmd_sharding_rule_places_big_leaves",
+    "test_global_mesh_and_put",
+    # native runtime
+    "test_gather_rows_matches_numpy",
+    # aux / eval
+    "test_metrics_logger_roundtrip",
+    "test_cli_flag_parity",
+    "test_slice_grid_roundtrip_and_order",
+    "test_frechet_identical_is_zero_and_shift_is_mu_sq",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def devices():
