@@ -56,6 +56,64 @@ def prepare_pool(
     return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("n", "scale", "channels", "augment", "holdout"))
+def _pool_from_device_store(
+    store: jax.Array,
+    key: jax.Array,
+    n: int,
+    scale: int,
+    channels: int,
+    augment: bool,
+    holdout: int,
+) -> jax.Array:
+    """One fused device program: index draw + gather + augment + resize.
+
+    Bitwise-identical to the host route (DataSource.draw_indices sorts
+    its randint draw; jnp.sort here reproduces it exactly), but with
+    ZERO host work and one dispatch instead of four round-trips — the
+    fast path when the packed store fits in HBM (see
+    DataSource.device_store)."""
+    k_sel, k_aug = jax.random.split(key)
+    idx = jnp.sort(jax.random.randint(k_sel, (n,), holdout, store.shape[0]))
+    raw = jnp.take(store, idx, axis=0)
+    return prepare_pool(raw, k_aug, scale, channels, augment)
+
+
+@partial(jax.jit, static_argnames=("n", "scale", "channels", "augment", "holdout"))
+def _pools_from_device_store(
+    store: jax.Array,
+    keys: jax.Array,
+    n: int,
+    scale: int,
+    channels: int,
+    augment: bool,
+    holdout: int,
+) -> jax.Array:
+    """(E,) keys -> (E, n, scale, scale, channels) pools in ONE program.
+
+    `lax.map` (not vmap) keeps peak memory at one epoch's float32
+    intermediates while still paying a single host dispatch for a whole
+    --epochsPerCompile chunk's worth of pools."""
+    from jax import lax
+
+    def one(k):
+        k_sel, k_aug = jax.random.split(k)
+        idx = jnp.sort(
+            jax.random.randint(k_sel, (n,), holdout, store.shape[0]))
+        return prepare_pool(jnp.take(store, idx, axis=0), k_aug, scale,
+                            channels, augment)
+
+    return lax.map(one, keys)
+
+
+# Packed stores at or below this size live in HBM for the run (the full
+# 13k-image LFW store is ~160 MB against 16 GB of v5e HBM); bigger
+# stores fall back to the threaded host-gather + prefetch path.
+_HBM_STORE_MAX = int(
+    __import__("os").environ.get("FACEGEN_HBM_STORE_MAX_BYTES", 2 << 30)
+)
+
+
 @dataclasses.dataclass
 class DataSource:
     """Uniform front for packed-LFW or synthetic data.
@@ -63,6 +121,12 @@ class DataSource:
     `epoch_pool(key, n)` returns an (n, scale, scale, channels) uint8
     device array — the equivalent of TRAIN_DATA = loadRandomImages(N)
     (train.lua:201).
+
+    When the packed store fits in HBM (`_HBM_STORE_MAX`), it is uploaded
+    ONCE and every pool is built by a single fused device program
+    (`_pool_from_device_store`) — no per-epoch host gather, no
+    host->device transfer, no prefetch thread. The reference re-decodes
+    JPEGs from disk every epoch (dataset.lua:80-117).
     """
 
     scale: int
@@ -72,6 +136,19 @@ class DataSource:
     augment: bool = True
     holdout: int = 0  # first `holdout` rows reserved (validation, c2f)
     threads: int = 8  # host gather threads (--threads, train.lua:66)
+    hbm_store: bool = True  # allow the HBM-resident fast path
+    _device_store: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False)
+
+    @property
+    def device_store(self) -> Optional[jax.Array]:
+        """The HBM-resident store, or None when ineligible."""
+        if (not self.hbm_store or self.synthetic or self.store is None
+                or self.store.nbytes > _HBM_STORE_MAX):
+            return None
+        if self._device_store is None:
+            self._device_store = jax.device_put(np.ascontiguousarray(self.store))
+        return self._device_store
 
     @property
     def size(self) -> int:
@@ -113,9 +190,26 @@ class DataSource:
         return jax.device_put(self.host_gather(key, n))
 
     def epoch_pool(self, key: jax.Array, n: int) -> jax.Array:
+        dev = self.device_store
+        if dev is not None:
+            return _pool_from_device_store(
+                dev, key, n, self.scale, self.channels, self.augment,
+                self.holdout)
         k_sel, k_aug = jax.random.split(key)
         raw = self.raw_batch(k_sel, n)
         return prepare_pool(raw, k_aug, self.scale, self.channels, self.augment)
+
+    def epoch_pool_stack(self, keys: jax.Array, n: int) -> jax.Array:
+        """(E,) keys -> (E, n, scale, scale, channels) uint8 — one
+        device program per chunk on the HBM-store path, a loop of
+        `epoch_pool` otherwise. Row-for-row identical to E separate
+        `epoch_pool` calls."""
+        dev = self.device_store
+        if dev is not None:
+            return _pools_from_device_store(
+                dev, keys, n, self.scale, self.channels, self.augment,
+                self.holdout)
+        return jnp.stack([self.epoch_pool(k, n) for k in keys])
 
     def range_pool(self, start: int, count: int, key: jax.Array) -> jax.Array:
         """Deterministic contiguous slice (dataset.lua:46-74
@@ -161,8 +255,10 @@ class Prefetcher:
             self._error = e
 
     def schedule(self, key) -> None:
-        if self.source.synthetic or self.source.store is None:
-            return  # nothing host-side to overlap
+        if (self.source.synthetic or self.source.store is None
+                or self.source.device_store is not None):
+            return  # nothing host-side to overlap (HBM-resident store
+            # builds pools entirely on device — get() takes that path)
         if self._thread is not None:
             # A previous epoch failed between schedule() and get() (or
             # get() was never called): drain the stale gather rather than

@@ -277,21 +277,29 @@ class Trainer:
         keys = [self._epoch_keys(start_idx + j) for j in range(n)]
 
         self._log("Loading new training data...")
-        pools = []
-        for j in range(n):
-            pool = self.prefetcher.get(keys[j][0])
-            self.prefetcher.schedule(self._epoch_keys(start_idx + j + 1)[0])
-            pools.append(pool)
+        if self.source.device_store is not None:
+            # HBM-resident store: the whole chunk's pools in ONE device
+            # program (pipeline.py:_pools_from_device_store), row-for-row
+            # identical to the sequential per-epoch builds
+            pools = self.source.epoch_pool_stack(
+                jnp.stack([k[0] for k in keys]), self.pool_n)
+        else:
+            pools = []
+            for j in range(n):
+                pool = self.prefetcher.get(keys[j][0])
+                self.prefetcher.schedule(self._epoch_keys(start_idx + j + 1)[0])
+                pools.append(pool)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             nshards = self.mesh.shape["data"]
             usable = (pools[0].shape[0] // nshards) * nshards
-            stacked = jnp.stack([p[:usable] for p in pools])
+            stacked = (pools[:, :usable] if isinstance(pools, jax.Array)
+                       else jnp.stack([p[:usable] for p in pools]))
             stacked = jax.device_put(
                 stacked, NamedSharding(self.mesh, P(None, "data")))
         else:
-            stacked = jnp.stack(pools)
+            stacked = pools if isinstance(pools, jax.Array) else jnp.stack(pools)
 
         if not cfg.noplot:
             report = visualize_progress(

@@ -109,7 +109,7 @@ def test_prefetcher_tolerates_unconsumed_schedule(tmp_path):
 
     store = np.random.RandomState(0).randint(
         0, 256, (32, 64, 64, 3)).astype(np.uint8)
-    src = DataSource(16, 1, store=store, threads=2)
+    src = DataSource(16, 1, store=store, threads=2, hbm_store=False)
     pf = Prefetcher(src, 8)
     pf.schedule(jax.random.key(0))
     # epoch "fails" here: get() never called; next schedule must drain

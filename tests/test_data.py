@@ -201,6 +201,45 @@ def test_datasource_store_and_holdout(tmp_path):
     assert val.shape == (5, 16, 16, 3)
 
 
+def test_hbm_store_path_matches_host_path():
+    """The fused on-device pool build (pipeline._pool_from_device_store)
+    must be bitwise-identical to the threaded host-gather route — same
+    sorted randint draw, same augment keys."""
+    store = np.random.RandomState(1).randint(
+        0, 256, (24, 64, 64, 3)).astype(np.uint8)
+    dev = DataSource(scale=16, channels=3, store=store, holdout=3)
+    host = DataSource(scale=16, channels=3, store=store, holdout=3,
+                      hbm_store=False)
+    assert dev.device_store is not None and host.device_store is None
+    for seed in (0, 7):
+        a = dev.epoch_pool(jax.random.key(seed), 8)
+        b = host.epoch_pool(jax.random.key(seed), 8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hbm_store_stacked_pools_match_sequential():
+    store = np.random.RandomState(2).randint(
+        0, 256, (24, 64, 64, 3)).astype(np.uint8)
+    src = DataSource(scale=16, channels=3, store=store)
+    keys = jax.random.split(jax.random.key(5), 3)
+    stacked = src.epoch_pool_stack(keys, 8)
+    assert stacked.shape == (3, 8, 16, 16, 3)
+    for j in range(3):
+        one = src.epoch_pool(keys[j], 8)
+        np.testing.assert_array_equal(np.asarray(stacked[j]), np.asarray(one))
+
+
+def test_hbm_store_respects_size_cap(monkeypatch):
+    from facegen.data import pipeline
+
+    store = np.zeros((4, 64, 64, 3), np.uint8)
+    monkeypatch.setattr(pipeline, "_HBM_STORE_MAX", 16)  # force too-big
+    src = DataSource(scale=16, channels=3, store=store)
+    assert src.device_store is None
+    pool = src.epoch_pool(jax.random.key(0), 4)  # host route still works
+    assert pool.shape == (4, 16, 16, 3)
+
+
 # ---------------------------------------------------------------------------
 # LFW builder
 # ---------------------------------------------------------------------------

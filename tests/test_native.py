@@ -79,7 +79,9 @@ def test_prefetcher_store_path_matches_direct():
     from facegen.data.pipeline import DataSource, Prefetcher
 
     store = np.random.RandomState(0).randint(0, 256, (64, 64, 64, 3)).astype(np.uint8)
-    src = DataSource(scale=16, channels=3, store=store, augment=False)
+    # hbm_store=False pins the threaded host-gather path this test covers
+    src = DataSource(scale=16, channels=3, store=store, augment=False,
+                     hbm_store=False)
     pf = Prefetcher(src, 8)
     direct = src.epoch_pool(jax.random.key(1), 8)
     pf.schedule(jax.random.key(1))
