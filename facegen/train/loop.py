@@ -221,10 +221,15 @@ class Trainer:
         dt = time.perf_counter() - t0
 
         n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
-        trained = int(self.state.trained_d)
-        not_trained = int(self.state.not_trained_d)
-        conf = np.asarray(self.state.confusion)
-        total_valid = float(M.total_valid(self.state.confusion))
+        # one device->host fetch for all per-epoch scalars (each
+        # individual int()/float() pull is a tunnel round-trip)
+        trained, not_trained, conf, loss_g_mean, acc_d_mean = jax.device_get((
+            self.state.trained_d, self.state.not_trained_d,
+            self.state.confusion, jnp.mean(ms.loss_g), jnp.mean(ms.acc_d),
+        ))
+        trained, not_trained = int(trained), int(not_trained)
+        conf = np.asarray(conf)
+        total_valid = float(M.total_valid(conf))
         self._log(f"<trainer> time required for this epoch = {dt:.3f} s")
         self._log(f"<trainer> time to learn 1 sample = {1000*dt/n_examples:.4f} ms")
         self._log(f"<trainer> trained D {trained} of {trained+not_trained} times.")
@@ -235,8 +240,8 @@ class Trainer:
             "seconds": dt,
             "images_per_sec": n_examples / dt,
             "loss_d_mean": loss_d_sum / max(len(ms.loss_d), 1),
-            "loss_g_mean": float(jnp.mean(ms.loss_g)),
-            "acc_d_mean": float(jnp.mean(ms.acc_d)),
+            "loss_g_mean": float(loss_g_mean),
+            "acc_d_mean": float(acc_d_mean),
             "total_valid": total_valid,
             "trained_d": trained,
             "not_trained_d": not_trained,
@@ -322,7 +327,10 @@ class Trainer:
         k_epochs = jnp.stack([k[1] for k in keys])
         t0 = time.perf_counter()
         self.state, summaries = self._multi_fn(n)(self.state, k_epochs, stacked)
-        _sync(summaries.loss_d)  # forces completion
+        # ONE device->host fetch for the whole chunk's summaries (also
+        # forces completion): per-element indexing of device arrays
+        # would cost a tunnel round-trip per scalar — ~8 x n of them
+        summaries = jax.device_get(summaries)
         dt = time.perf_counter() - t0
 
         n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
