@@ -283,8 +283,11 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
         bundle, opt1, opt2, losses = epoch_fn(
             bundle, opt1, opt2, jax.random.fold_in(jax.random.key(cfg.seed), e), pool
         )
-        mean = np.asarray(jnp.mean(losses, axis=0))
-        vloss = float(val_fn(bundle, val_pool))
+        # one device->host fetch per epoch (scalar pulls are a remote
+        # round-trip each on tunnel-attached chips)
+        mean, vloss = jax.device_get(
+            (jnp.mean(losses, axis=0), val_fn(bundle, val_pool)))
+        mean, vloss = np.asarray(mean), float(vloss)
         dt = time.perf_counter() - t0
         if not np.isfinite(mean).all():  # exitIfNaNs (train_denoiser.lua:371-379)
             raise FloatingPointError(f"NaN loss at epoch {e}")

@@ -344,12 +344,18 @@ class C2FTrainer:
 
         t0 = time.perf_counter()
         self.state, ms = self.epoch_fn(self.state, k_epoch, pool)
-        loss_d_sum = float(jnp.sum(ms.loss_d))
+        # one device->host fetch for every per-epoch scalar (individual
+        # pulls are a remote round-trip each — see Trainer.train_epoch)
+        loss_d_sum, loss_g_mean, acc_d_mean, conf, epoch_now = jax.device_get((
+            jnp.sum(ms.loss_d), jnp.mean(ms.loss_g), jnp.mean(ms.acc_d),
+            self.state.confusion, self.state.epoch,
+        ))
+        loss_d_sum, epoch_now = float(loss_d_sum), int(epoch_now)
         dt = time.perf_counter() - t0
         n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
         self._log(f"<trainer> time required for this epoch = {dt:.3f} s")
         self._log(f"<trainer> time to learn 1 sample = {1000*dt/n_examples:.4f} ms")
-        self._log(M.format_confusion(np.asarray(self.state.confusion)))
+        self._log(M.format_confusion(np.asarray(conf)))
 
         # approxParzen on validation (train_c2f.lua:235)
         dists = np.asarray(self.parzen_fn(self.state.params_g, self.state.state_g,
@@ -361,22 +367,22 @@ class C2FTrainer:
         if mean_dist < self.best_dist:
             self.best_dist = mean_dist
             ckpt.save(cfg.save, ckpt_name(cfg, best=True), self.state,
-                      meta={"epoch": int(self.state.epoch),
+                      meta={"epoch": epoch_now,
                             "parzen": mean_dist, **ckpt.config_meta(cfg)})
             self._log("<trainer> saving best network")
 
         stats = {
-            "epoch": int(self.state.epoch) - 1,
+            "epoch": epoch_now - 1,
             "seconds": dt,
             "loss_d_mean": loss_d_sum / max(len(ms.loss_d), 1),
-            "loss_g_mean": float(jnp.mean(ms.loss_g)),
-            "acc_d_mean": float(jnp.mean(ms.acc_d)),
+            "loss_g_mean": float(loss_g_mean),
+            "acc_d_mean": float(acc_d_mean),
             "parzen": mean_dist,
         }
         self.state = self.state._replace(confusion=M.empty_confusion())
-        if (int(self.state.epoch) - 1) % cfg.save_freq == 0:
+        if (epoch_now - 1) % cfg.save_freq == 0:
             ckpt.save(cfg.save, ckpt_name(cfg), self.state,
-                      meta={"epoch": int(self.state.epoch), **ckpt.config_meta(cfg)})
+                      meta={"epoch": epoch_now, **ckpt.config_meta(cfg)})
         return stats
 
     def run(self, epochs: Optional[int] = None):
