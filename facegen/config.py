@@ -205,6 +205,8 @@ class SampleConfig:
     neighbours: bool = False      # --neighbours
     writeto: str = "samples"      # --writeto
     aws: bool = False
+    dataset_dir: Optional[str] = None  # --datasetDir: store for --neighbours
+                                       # (sample.lua:135 DATASET dirs)
     # c2f refinement of the best/worst/random grids (the deprecated
     # laplacian-pyramid path, sample.lua:102-110 + c2f() :176-214)
     c2f: bool = False

@@ -205,7 +205,7 @@ def _load_dataset(cfg: SampleConfig):
     from facegen.data.lfw import default_store_path, load_store
     from facegen.data.pipeline import prepare_pool
 
-    path = default_store_path(cfg.aws)
+    path = default_store_path(cfg.aws, cfg.dataset_dir)
     if os.path.exists(path):
         store = load_store(path)
         pools = []
@@ -240,6 +240,9 @@ def main(argv=None):
     p.add_argument("--noiseDim", type=int, default=None, dest="noise_dim")
     p.add_argument("--batchSize", type=int, default=16, dest="batch_size")
     p.add_argument("--aws", action="store_true")
+    p.add_argument("--datasetDir", type=str, default=None, dest="dataset_dir",
+                   help="packed store for --neighbours (default: "
+                        "dataset/lfw64.npy; sample.lua:135 DATASET dirs)")
     p.add_argument("--c2f", action="store_true",
                    help="refine best/worst/random grids through a trained "
                         "coarse-to-fine GAN (sample.lua:102-110, :176-214)")
@@ -259,7 +262,8 @@ def main(argv=None):
         save=a.save, network=a.network, batch_size=a.batch_size,
         noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
         seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
-        writeto=a.writeto, aws=a.aws, c2f=a.c2f, c2f_network=a.c2f_network,
+        writeto=a.writeto, aws=a.aws, dataset_dir=a.dataset_dir,
+        c2f=a.c2f, c2f_network=a.c2f_network,
         save_c2f=a.save_c2f, c2f_tries=a.c2f_tries,
         mesh_shape=tuple(int(x) for x in a.mesh_shape.split(",")) if a.mesh_shape
         else (),
