@@ -173,7 +173,7 @@ def _model_flops_per_epoch(g, d, bundle, cfg) -> float:
 
 
 def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 3,
-                      multi_epoch: bool = True):
+                      multi_epoch: bool = True, profile_dir: str | None = None):
     """(images/sec, mfu) of the jitted whole-epoch facegen train loop.
 
     ``multi_epoch=True`` (the default, matching the Trainer's
@@ -228,24 +228,32 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
         flops_per_epoch = _model_flops_per_epoch(g, d, bundle, cfg)
     except Exception:
         flops_per_epoch = 0.0
+    import contextlib
+
+    from facegen.utils import profiling
+
+    trace_ctx = (profiling.trace(profile_dir) if profile_dir
+                 else contextlib.nullcontext())
     if multi_epoch:
         multi = jax.jit(make_multi_epoch_fn(g, d, cfg, timed_epochs))
         pools = jnp.broadcast_to(pool, (timed_epochs,) + pool.shape)
         state, summaries = multi(state, jax.random.key(3), pools)  # warmup
         sync(summaries.loss_d)
-        t0 = time.perf_counter()
-        state, summaries = multi(state, jax.random.key(4), pools)
-        last = sync(summaries.loss_d)
-        dt = time.perf_counter() - t0
+        with trace_ctx:
+            t0 = time.perf_counter()
+            state, summaries = multi(state, jax.random.key(4), pools)
+            last = sync(summaries.loss_d)
+            dt = time.perf_counter() - t0
     else:
         epoch = jax.jit(make_epoch_fn(g, d, cfg))
         state, ms = epoch(state, jax.random.key(3), pool)  # warmup run
         sync(ms.loss_d)
-        t0 = time.perf_counter()
-        for e in range(timed_epochs):
-            state, ms = epoch(state, jax.random.fold_in(jax.random.key(4), e), pool)
-        last = sync(ms.loss_d)
-        dt = time.perf_counter() - t0
+        with trace_ctx:
+            t0 = time.perf_counter()
+            for e in range(timed_epochs):
+                state, ms = epoch(state, jax.random.fold_in(jax.random.key(4), e), pool)
+            last = sync(ms.loss_d)
+            dt = time.perf_counter() - t0
     ips = n_epoch * timed_epochs / dt
     assert last == last and abs(last) < 1e9, "non-finite loss in bench"
     peak = _chip_peak_tflops(jax.devices()[0]) * 1e12
@@ -421,13 +429,23 @@ def main():
     if "--full" in sys.argv:
         full_suite()
         return
+    profile_dir = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        profile_dir = sys.argv[i + 1] if i + 1 < len(sys.argv) else "/tmp/facegen_profile"
     log("starting Torch-CPU baseline subprocess (runs concurrently) ...")
     proc = _start_baseline_subprocess()
     log("measuring facegen on default JAX backend ...")
     import jax
 
     dev = jax.devices()[0]
-    tpu_ips, mfu = bench_facegen_tpu(multi_epoch="--per-epoch" not in sys.argv)
+    tpu_ips, mfu = bench_facegen_tpu(multi_epoch="--per-epoch" not in sys.argv,
+                                     profile_dir=profile_dir)
+    if profile_dir:
+        from facegen.utils import profiling
+
+        summary = profiling.aggregate_trace(profile_dir)
+        log(profiling.format_op_table(summary))
     log(f"facegen: {tpu_ips:.1f} images/sec/chip on {dev.device_kind}"
         + (f" (MFU {100*mfu:.2f}%)" if mfu else ""))
     baseline_ips = _join_baseline(proc)

@@ -172,6 +172,85 @@ def warp_bilinear(images: jax.Array, matrices: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
+def warp_bilinear_mxu(
+    images: jax.Array, matrices: jax.Array, block: int = 64
+) -> jax.Array:
+    """The same warp as `warp_bilinear`, re-expressed as per-image GEMMs.
+
+    Bilinear sampling is a hat-kernel contraction: with tri(t) =
+    max(0, 1-|t|),
+
+        out[p, c] = sum_y tri(sy[p] - y) * sum_x tri(sx[p] - x) * img[y, x, c]
+
+    restricted to valid x in [0, w) / y in [0, h) — which reproduces the
+    4-corner gather's constant-0 border EXACTLY (an out-of-range corner
+    contributes 0 either way; an in-range corner's hat weight equals its
+    bilinear weight). The inner contraction over x is one (P, W) @
+    (W, H*C) matmul per image — MXU work instead of the 4-way dynamic
+    gather, which XLA lowers to serialized per-element addressing on
+    TPU. The outer contraction has only 2 live y's per output pixel and
+    stays a cheap VPU multiply-reduce.
+
+    `block` bounds peak memory: images are processed `block` at a time
+    under `lax.map` (the (block, P, H, C) hat-weighted intermediate is
+    the big buffer: block=64 at 64x64x3 is ~190 MB fp32).
+
+    Product selection between this and the gather path is measured, not
+    assumed — see docs/KERNELS.md (round 3) and `_WARP_IMPL` below.
+    """
+    from jax import lax
+
+    n, h, w, c = images.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W), x=col, y=row
+    coords = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
+
+    def one(img, mat):
+        src = jnp.einsum("ij,hwj->hwi", mat, coords)  # (H, W, 2) = (x, y)
+        sx = src[..., 0].reshape(-1)  # (P,)
+        sy = src[..., 1].reshape(-1)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - xs[None, :]))  # (P, W)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - ys[None, :]))  # (P, H)
+        t = jnp.einsum("px,yxc->pyc", wx, img,
+                       precision=lax.Precision.HIGHEST)  # GEMM
+        out = jnp.einsum("py,pyc->pc", wy, t,
+                         precision=lax.Precision.HIGHEST)
+        return out.reshape(h, w, c)
+
+    if n <= block:
+        return jax.vmap(one)(images, matrices)
+    pad = (-n) % block
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.zeros((pad, h, w, c), images.dtype)])
+        eye = jnp.broadcast_to(jnp.eye(2, 3), (pad, 2, 3)).astype(matrices.dtype)
+        matrices = jnp.concatenate([matrices, eye])
+    nb = images.shape[0] // block
+    out = lax.map(
+        lambda args: jax.vmap(one)(*args),
+        (images.reshape(nb, block, h, w, c),
+         matrices.reshape(nb, block, 2, 3)),
+    ).reshape(nb * block, h, w, c)
+    return out[:n]
+
+
+# Product warp selection: "gather" (warp_bilinear) or "mxu"
+# (warp_bilinear_mxu), overridable via FACEGEN_WARP. The default is
+# measured per backend — docs/KERNELS.md (round 3).
+import os as _os
+
+_WARP_IMPL = _os.environ.get("FACEGEN_WARP", "auto")
+
+
+def _warp(images: jax.Array, matrices: jax.Array) -> jax.Array:
+    impl = _WARP_IMPL
+    if impl == "auto":
+        impl = "mxu" if jax.default_backend() == "tpu" else "gather"
+    return (warp_bilinear_mxu if impl == "mxu" else warp_bilinear)(
+        images, matrices)
+
+
 def augment_batch(
     key: jax.Array,
     images: jax.Array,
@@ -202,4 +281,4 @@ def augment_batch(
                  + cfg.noise_std * jax.random.normal(k_noise, x.shape))
     x = jnp.clip(x, 0.0, 1.0)
     mats = inverse_affine_matrices(params, h, w)
-    return warp_bilinear(x, mats)
+    return _warp(x, mats)

@@ -47,6 +47,75 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert "time" in records[0]
 
 
+def _write_fake_trace(logdir, events):
+    import gzip
+
+    d = os.path.join(logdir, "plugins", "profile", "2026_01_01_00_00_00")
+    os.makedirs(d, exist_ok=True)
+    with gzip.open(os.path.join(d, "host.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+
+def test_aggregate_trace_per_op_table(tmp_path):
+    """aggregate_trace: uses the device 'XLA Ops' track, excludes the
+    `while` scan wrapper (it encloses its body ops — counting both would
+    double-count), and derives achieved TFLOP/s / GB/s from XLA's own
+    per-op accounting."""
+    from facegen.utils import profiling
+
+    meta = [
+        {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name", "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name", "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name", "args": {"name": "python"}},
+    ]
+    evs = meta + [
+        # module track: must not enter the op table
+        {"ph": "X", "pid": 3, "tid": 2, "ts": 0, "dur": 100, "name": "jit_epoch"},
+        # scan wrapper enclosing the leaves: excluded by category
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 0, "dur": 100, "name": "while.1",
+         "args": {"hlo_category": "while"}},
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 1, "dur": 60, "name": "fusion.7",
+         "args": {"hlo_category": "convolution fusion",
+                  "model_flops": "6000000", "bytes_accessed": "1200"}},
+        {"ph": "X", "pid": 3, "tid": 3, "ts": 61, "dur": 40, "name": "copy.2",
+         "args": {"hlo_category": "data formatting"}},
+        # host track event: ignored
+        {"ph": "X", "pid": 9, "tid": 1, "ts": 0, "dur": 999, "name": "python_host"},
+    ]
+    _write_fake_trace(str(tmp_path), evs)
+    s = profiling.aggregate_trace(str(tmp_path))
+    assert s["device"] == "/device:TPU:0"
+    assert s["total_us"] == pytest.approx(100.0)
+    assert s["module_total_us"] == pytest.approx(100.0)
+    names = [r["name"] for r in s["ops"]]
+    assert names == ["fusion.7", "copy.2"]
+    conv = s["ops"][0]
+    assert conv["share"] == pytest.approx(0.6)
+    # 6e6 flops / 60us = 0.1 TFLOP/s; 1200 B / 60us = 0.02 GB/s
+    assert conv["tflops"] == pytest.approx(0.1)
+    assert conv["gbps"] == pytest.approx(0.02)
+    cats = {r["category"]: r["share"] for r in s["categories"]}
+    assert cats["convolution fusion"] == pytest.approx(0.6)
+    table = profiling.format_op_table(s)
+    assert "fusion.7" in table and "while.1" not in table
+
+
+def test_trace_capture_roundtrip(tmp_path):
+    """End-to-end: capture a real trace of a jitted op and aggregate it
+    (the `bench.py --profile` path)."""
+    from facegen.utils import profiling
+
+    with profiling.trace(str(tmp_path)):
+        x = jnp.ones((128, 128))
+        y = jax.jit(lambda a: a @ a)(x)
+        jax.block_until_ready(y)
+    s = profiling.aggregate_trace(str(tmp_path))
+    assert s["ops"], "no ops captured"
+    assert s["total_us"] > 0
+
+
 def test_cli_flag_parity():
     cfg = train_config_from_args([
         "--batchSize", "16", "--scale", "16", "--grayscale",

@@ -53,6 +53,29 @@ def test_warp_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_mxu_warp_matches_gather_warp():
+    """warp_bilinear_mxu is the same function as warp_bilinear (the
+    hat-kernel contraction equals the 4-corner gather exactly, incl.
+    the constant-0 border) — checked over random affines that push
+    samples off every edge, and through the block/padding path."""
+    rng = np.random.RandomState(7)
+    n, h, w, c = 9, 20, 16, 3
+    imgs = jnp.asarray(rng.rand(n, h, w, c), jnp.float32)
+    params = {
+        "scale": jnp.asarray(rng.uniform(0.6, 1.4, n), jnp.float32),
+        "rot": jnp.asarray(rng.uniform(-0.6, 0.6, n), jnp.float32),
+        "shear": jnp.asarray(rng.uniform(-0.2, 0.2, n), jnp.float32),
+        "trans": jnp.asarray(rng.uniform(-8, 8, (n, 2)), jnp.float32),
+    }
+    mats = A.inverse_affine_matrices(params, h, w)
+    ref = np.asarray(A.warp_bilinear(imgs, mats))
+    got = np.asarray(A.warp_bilinear_mxu(imgs, mats))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # block path (n > block) incl. the pad tail
+    got_blocked = np.asarray(A.warp_bilinear_mxu(imgs, mats, block=4))
+    np.testing.assert_allclose(got_blocked, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_identity_transform_is_identity():
     img = jnp.asarray(np.random.RandomState(1).rand(1, 12, 12, 1), jnp.float32)
     params = {
