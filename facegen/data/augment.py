@@ -251,6 +251,44 @@ def _warp(images: jax.Array, matrices: jax.Array) -> jax.Array:
         images, matrices)
 
 
+def pregenerate_matrices(
+    key: jax.Array, n: int, height: int, width: int,
+    cfg: AugmentConfig = AugmentConfig(),
+) -> jax.Array:
+    """Draw n inverse warp matrices up front (ImageAugmenter.py:478-518
+    `pregenerate_matrices`: amortize matrix generation across batches).
+
+    Returns (n, 2, 3) float32; apply with `warp_bilinear`/`_mxu`, e.g.
+    cycling slices of the pregenerated pool. Under jit the matrices are
+    device-resident, so unlike the reference's host-side amortization
+    this mainly serves reproducibility/debugging: fixing the matrix pool
+    fixes the geometric augmentation across epochs.
+    """
+    return inverse_affine_matrices(
+        sample_affine_params(key, n, cfg), height, width
+    )
+
+
+def plot_augmentations(
+    key: jax.Array,
+    image: jax.Array,
+    path: str,
+    n: int = 49,
+    cfg: AugmentConfig = AugmentConfig(),
+) -> str:
+    """Debug grid of n augmentations of one image (the matplotlib
+    `ImageAugmenter.plot_image` API, ImageAugmenter.py:654-745, as a PNG
+    grid — no GUI dependency). Returns the written path."""
+    from facegen.utils import grids
+
+    img = jnp.asarray(image)
+    if img.ndim == 2:
+        img = img[..., None]
+    batch = jnp.broadcast_to(img[None], (n,) + img.shape)
+    out = augment_batch(key, batch, cfg)
+    return grids.save_grid(path, out)
+
+
 def augment_batch(
     key: jax.Array,
     images: jax.Array,

@@ -76,6 +76,22 @@ def test_mxu_warp_matches_gather_warp():
     np.testing.assert_allclose(got_blocked, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_pregenerate_and_plot_debug_api(tmp_path):
+    """Library-surface parity with ImageAugmenter.py:478-518 (matrix
+    pregeneration) and :654-745 (augmentation plot, PNG here)."""
+    mats = A.pregenerate_matrices(jax.random.key(0), 12, 20, 16)
+    assert mats.shape == (12, 2, 3)
+    # deterministic in the key, and usable with both warp backends
+    np.testing.assert_array_equal(
+        np.asarray(mats),
+        np.asarray(A.pregenerate_matrices(jax.random.key(0), 12, 20, 16)))
+    img = np.random.RandomState(3).rand(20, 16, 3).astype(np.float32)
+    out = A.warp_bilinear(jnp.broadcast_to(img, (12, 20, 16, 3)), mats)
+    assert out.shape == (12, 20, 16, 3)
+    p = A.plot_augmentations(jax.random.key(1), img, str(tmp_path / "aug.png"), n=9)
+    assert os.path.exists(p) and os.path.getsize(p) > 100
+
+
 def test_identity_transform_is_identity():
     img = jnp.asarray(np.random.RandomState(1).rand(1, 12, 12, 1), jnp.float32)
     params = {
