@@ -177,6 +177,42 @@ def min_nn_distances(images, train_set, batch: int = 1024) -> np.ndarray:
     return np.concatenate(dists)
 
 
+def train_set_nn_calibration(train_images, key: Optional[jax.Array] = None,
+                             ) -> Dict:
+    """The training set's own nearest-neighbour spacing — the yardstick
+    for reading generated-sample NN distances (a generator emitting
+    novel in-distribution faces lands near these values; ~0 would be
+    memorization, far above p90 would be off-distribution).
+
+    Two views: **half-vs-half** (min distance from each image of one
+    random half to the other half) and **leave-one-out** (min distance
+    to any *other* train image, via a k=2 self-search whose first
+    neighbour is the image itself at distance 0). Both run as the same
+    MXU GEMM sweep as the generated-sample statistic
+    (sample.lua:140-146 semantics)."""
+    train_np = np.asarray(train_images, np.float32)
+    if train_np.max() > 1.5:
+        train_np = train_np / 255.0
+    flat = train_np.reshape(len(train_np), -1)
+
+    _, d2 = nearest_neighbours(jnp.asarray(flat), jnp.asarray(flat), k=2)
+    loo = d2[:, 1]
+
+    key = jax.random.key(0) if key is None else key
+    perm = np.asarray(jax.random.permutation(key, len(flat)))
+    h = len(flat) // 2
+    _, dab = nearest_neighbours(jnp.asarray(flat[perm[:h]]),
+                                jnp.asarray(flat[perm[h : 2 * h]]), k=1)
+    hvh = dab[:, 0]
+
+    def _stats(x: np.ndarray) -> Dict:
+        return {"mean": float(x.mean()),
+                "p10": float(np.percentile(x, 10)),
+                "p90": float(np.percentile(x, 90))}
+
+    return {"nn_half_vs_half": _stats(hvh), "nn_leave_one_out": _stats(loo)}
+
+
 # ---------------------------------------------------------------------------
 # the report
 # ---------------------------------------------------------------------------
@@ -347,6 +383,12 @@ def sample_report(
             f"mean_{label_b}": float(nn_b.mean()),
             "ks_stat": ks_stat,
             "ks_pvalue": ks_p,
+        }
+        report["calibration"] = {
+            "note": "the train set's own nearest-neighbour spacings — "
+                    "the yardstick for mean NN distances above (~0 = "
+                    "memorizing; far above p90 = off-distribution)",
+            **train_set_nn_calibration(train_np),
         }
         n_real = min(n, train_np.shape[0])
         feats_real = d_penultimate_features(d_a, bundle_a, train_np[:n_real],

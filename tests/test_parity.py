@@ -115,6 +115,22 @@ def test_slice_grid_roundtrip_and_order():
         slice_grid(grid, tile=5)
 
 
+def test_train_set_nn_calibration_closed_form():
+    from facegen.eval.parity import train_set_nn_calibration
+
+    # constant images with pixel values 0, .1, .5, 1 at 2x2x1: the L2
+    # distance between constants a,b is 2|a-b|, so the leave-one-out
+    # nearest-other distances are exactly [.2, .2, .8, 1.0]
+    vals = np.asarray([0.0, 0.1, 0.5, 1.0], np.float32)
+    train = np.broadcast_to(vals.reshape(4, 1, 1, 1), (4, 2, 2, 1))
+    cal = train_set_nn_calibration(train)
+    assert cal["nn_leave_one_out"]["mean"] == pytest.approx(0.55, abs=1e-4)
+    # half-vs-half pairs 2 images against the other 2: every value is a
+    # real cross-pair distance, bounded by the extreme pair (2.0)
+    hvh = cal["nn_half_vs_half"]
+    assert 0.0 < hvh["p10"] <= hvh["mean"] <= hvh["p90"] <= 2.0
+
+
 def test_sample_report_against_raw_population():
     from facegen.eval.parity import sample_report
 
@@ -129,6 +145,8 @@ def test_sample_report_against_raw_population():
     assert 0.0 <= rep["d_score"]["ks_stat"] <= 1.0
     assert np.isfinite(rep["frechet_d_features"]["ours_vs_reference"])
     assert "nn_distance" in rep and "ours_vs_real" in rep["frechet_d_features"]
+    # the train set's own NN spacing rides along as the yardstick
+    assert rep["calibration"]["nn_leave_one_out"]["mean"] > 0.0
     # without a train set the train-relative stats are omitted
     rep2 = sample_report(g, d, b, raw, None, n_samples=8, noise_dim=16,
                          compute_dtype="float32")
