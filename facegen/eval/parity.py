@@ -330,7 +330,10 @@ def sample_report(
       generators give identical score distributions (the population
       statistic behind sample.lua:84-89's ranking).
     - Fréchet distance in D_a's penultimate features, A-vs-B (and each
-      vs real when ``train_images`` is provided).
+      vs real when ``train_images`` is provided), plus the same distance
+      in raw pixel space — the latter is independent of the measuring
+      checkpoint (D-feature distances go blunt when D sits at its 0.5
+      equilibrium).
     - NN-distance distribution KS vs the shared training set (only with
       ``train_images``; the reference grids were trained on LFW, so
       this is apples-to-apples only once the same dataset is packed).
@@ -352,6 +355,12 @@ def sample_report(
                                      compute_dtype=compute_dtype)
     feats_b = d_penultimate_features(d_a, bundle_a, sb,
                                      compute_dtype=compute_dtype)
+    # pixel-space Fréchet rides along as a checkpoint-INDEPENDENT check:
+    # the D-feature embedding is the measuring checkpoint's own
+    # discriminator, which goes blunt as D reaches its 0.5 equilibrium —
+    # a population gap that D no longer sees still shows up here.
+    px_a = sa.reshape(len(sa), -1)
+    px_b = sb.reshape(len(sb), -1)
     report: Dict = {
         "n_samples": {label_a: int(sa.shape[0]), label_b: int(sb.shape[0])},
         "labels": [label_a, label_b],
@@ -363,6 +372,8 @@ def sample_report(
         },
         "frechet_d_features": {f"{label_a}_vs_{label_b}":
                                frechet_distance(feats_a, feats_b)},
+        "frechet_pixels": {f"{label_a}_vs_{label_b}":
+                           frechet_distance(px_a, px_b)},
         "pixel_moments": {
             f"mean_{label_a}": [float(v) for v in sa.mean(axis=(0, 1, 2))],
             f"mean_{label_b}": [float(v) for v in sb.mean(axis=(0, 1, 2))],
@@ -397,6 +408,11 @@ def sample_report(
             frechet_distance(feats_a, feats_real))
         report["frechet_d_features"][f"{label_b}_vs_real"] = (
             frechet_distance(feats_b, feats_real))
+        px_real = train_np[:n_real].reshape(n_real, -1)
+        report["frechet_pixels"][f"{label_a}_vs_real"] = (
+            frechet_distance(px_a, px_real))
+        report["frechet_pixels"][f"{label_b}_vs_real"] = (
+            frechet_distance(px_b, px_real))
     return report
 
 

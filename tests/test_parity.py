@@ -145,6 +145,11 @@ def test_sample_report_against_raw_population():
     assert 0.0 <= rep["d_score"]["ks_stat"] <= 1.0
     assert np.isfinite(rep["frechet_d_features"]["ours_vs_reference"])
     assert "nn_distance" in rep and "ours_vs_real" in rep["frechet_d_features"]
+    # checkpoint-independent pixel-space Fréchet rides along
+    assert set(rep["frechet_pixels"]) == {"ours_vs_reference",
+                                          "ours_vs_real",
+                                          "reference_vs_real"}
+    assert all(np.isfinite(v) for v in rep["frechet_pixels"].values())
     # the train set's own NN spacing rides along as the yardstick
     assert rep["calibration"]["nn_leave_one_out"]["mean"] > 0.0
     # without a train set the train-relative stats are omitted
