@@ -8,6 +8,7 @@
 
 LFW_DIR   ?= dataset/lfw
 STORE     ?= dataset/lfw64.npy
+REFGRID   ?= /root/reference/images/color_random1024.jpg
 SAVE      ?= logs
 SAMPLES   ?= samples
 EPOCHS    ?= 500
@@ -34,6 +35,23 @@ report:
 
 demo-lfw: dataset train sample report
 	@echo "demo-lfw complete: checkpoints in $(SAVE)/, grids in $(SAMPLES)/, quality report in $(SAVE)/parity.json"
+
+# Apples-to-apples quality parity vs the reference WITHOUT an LFW tree:
+# slice the reference's own published 1024-sample grid into a training
+# store, train the reference's published-images config on it, then score
+# our samples against the reference's samples with ONE shared training
+# distribution (docs/ROUND3.md section 1; report fields where the
+# comparison is meaningful: nn_distance + calibration, frechet_pixels).
+demo-refgrid:
+	$(PY) -m facegen.eval.refgrid --grid $(REFGRID) --out dataset/refgrid64.npy
+	$(PY) train.py --datasetDir dataset/refgrid64.npy --D_L1 0 --D_L2 0 \
+	    --D_iterations 2 --epochs 5000 --epochsPerCompile 50 --noplot \
+	    --save logs/refgrid
+	$(PY) sample.py --save_base logs/refgrid --writeto samples/refgrid \
+	    --neighbours --datasetDir dataset/refgrid64.npy --runs 1
+	$(PY) -m facegen.eval.parity --network_a logs/refgrid/adversarial \
+	    --samples_b $(REFGRID) --data dataset/refgrid64.npy \
+	    --out logs/refgrid/parity_vs_reference.json
 
 # identical pipeline, procedural data (no LFW needed)
 demo:
