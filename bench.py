@@ -432,7 +432,10 @@ def main():
     profile_dir = None
     if "--profile" in sys.argv:
         i = sys.argv.index("--profile")
-        profile_dir = sys.argv[i + 1] if i + 1 < len(sys.argv) else "/tmp/facegen_profile"
+        nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else None
+        # a following flag is NOT the directory value
+        profile_dir = (nxt if nxt and not nxt.startswith("--")
+                       else "/tmp/facegen_profile")
     log("starting Torch-CPU baseline subprocess (runs concurrently) ...")
     proc = _start_baseline_subprocess()
     log("measuring facegen on default JAX backend ...")

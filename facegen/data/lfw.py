@@ -81,8 +81,12 @@ def build_dataset(
     """
     dirs = [lfw_dir] if isinstance(lfw_dir, (str, os.PathLike)) else list(lfw_dir)
     if exts:
-        paths = scan_image_paths(dirs, tuple(e if e.startswith(".") else "." + e
-                                             for e in exts))
+        # scan_image_paths compares f.lower().endswith(ext): normalize
+        # the extension to lowercase too or 'JPG' could never match
+        paths = scan_image_paths(
+            dirs,
+            tuple((e if e.startswith(".") else "." + e).lower() for e in exts),
+        )
     else:
         paths = scan_image_paths(dirs)
     if limit:

@@ -135,10 +135,14 @@ def shard_pool_global(pool_local: np.ndarray, mesh: Mesh) -> jax.Array:
     another host's rows (jax.make_array_from_process_local_data).
     """
     n_local = pool_local.shape[0]
-    nshards = mesh.shape[DATA_AXIS]
     local_shards = sum(1 for d in mesh.devices.flat
                       if d.process_index == jax.process_index())
     usable = (n_local // max(local_shards, 1)) * max(local_shards, 1)
+    if usable == 0:
+        raise ValueError(
+            f"pool has {n_local} rows but this process owns "
+            f"{local_shards} mesh shards — need at least one row per shard"
+        )
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return jax.make_array_from_process_local_data(
         sharding, np.ascontiguousarray(pool_local[:usable])

@@ -94,10 +94,15 @@ class Trainer:
         # per-epoch host visit (no viz, no segmented netvis cadence).
         epc = cfg.epochs_per_compile
         if epc <= 0:
-            epc = 8 if (cfg.noplot and cfg.weights_vis_freq == 0) else 1
+            epc = 8 if (cfg.noplot and cfg.weights_vis_freq == 0
+                        and not cfg.trace_dir) else 1
         if epc > 1 and cfg.weights_vis_freq > 0:
             self._log("<trainer> epochsPerCompile ignored: weightsVisFreq "
                       "needs the segmented per-epoch path")
+            epc = 1
+        if epc > 1 and cfg.trace_dir:
+            self._log("<trainer> epochsPerCompile ignored: --traceDir "
+                      "captures the per-epoch program")
             epc = 1
         if epc > 1 and mesh is not None and "model" in mesh.axis_names:
             self._log("<trainer> epochsPerCompile > 1 not supported on the "
@@ -140,10 +145,7 @@ class Trainer:
     def resume(self, network: str):
         """network may be a checkpoint dir path or a name under cfg.save;
         a reference-style `.net` suffix is tolerated."""
-        directory, name = os.path.split(network.rstrip("/"))
-        directory = directory or self.cfg.save
-        if name.endswith(".net"):
-            name = name[: -len(".net")]
+        directory, name = ckpt.split_network_arg(network, self.cfg.save)
         state, meta = ckpt.load(directory, name, self.state)
         self.state = state
         self._log(
@@ -301,8 +303,17 @@ class Trainer:
             usable = (pools[0].shape[0] // nshards) * nshards
             stacked = (pools[:, :usable] if isinstance(pools, jax.Array)
                        else jnp.stack([p[:usable] for p in pools]))
-            stacked = jax.device_put(
-                stacked, NamedSharding(self.mesh, P(None, "data")))
+            if any(d.process_index != jax.process_index()
+                   for d in self.mesh.devices.flat):
+                # multi-process mesh: device_put cannot target other
+                # hosts' chips; build the global array from this host's
+                # addressable shards (same route as mesh.py:shard_pool)
+                from facegen.parallel.multihost import global_put
+
+                stacked = global_put(stacked, self.mesh, P(None, "data"))
+            else:
+                stacked = jax.device_put(
+                    stacked, NamedSharding(self.mesh, P(None, "data")))
         else:
             stacked = pools if isinstance(pools, jax.Array) else jnp.stack(pools)
 
@@ -459,15 +470,12 @@ def main(argv=None):
     # env-gated multi-process entry (FACEGEN_COORDINATOR et al.); must
     # run before the first jax.devices() touch binds the backend client.
     # A no-op for ordinary single-process runs (parallel/multihost.py).
-    distributed = maybe_initialize()
+    # After initialize, jax.devices() is global and the default
+    # mesh_shape=(-1,) below spans every process's chips — launching
+    # processes IS the opt-in to multi-host data parallelism.
+    maybe_initialize()
     cfg = train_config_from_args(argv)
     mesh = None
-    if distributed and not cfg.mesh_shape:
-        # multi-process runs default to DP over every global chip —
-        # launching processes IS the opt-in
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, mesh_shape=(-1,))
     if len(jax.devices()) > 1:
         if len(cfg.mesh_shape) == 2:
             # 'DP,MP' (incl. MP=1 and DP=-1) = the GSPMD mesh

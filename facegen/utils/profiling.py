@@ -100,8 +100,14 @@ def aggregate_trace(logdir: str, top: int = 25, min_share: float = 0.0):
         key = (ev.get("pid"), ev.get("tid"))
         if op_tracks:
             return key in op_tracks
-        # CPU-only traces (tests): fall back to every track so the
-        # table is still meaningful, flagged via `device`.
+        # No "XLA Ops" track (CPU-only traces in tests, or a different
+        # profiler format): fall back to the remaining tracks, but still
+        # exclude the module/step tracks whose events ENCLOSE the leaf
+        # ops — counting both would double every leaf's time.
+        if key in module_tracks:
+            return False
+        if tid_names.get(key, "") in ("Steps", "XLA Modules"):
+            return False
         return bool(device_pids) == (ev.get("pid") in device_pids)
 
     # Control-flow wrappers (the whole-epoch lax.scan shows up as a

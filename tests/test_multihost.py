@@ -102,6 +102,21 @@ _WORKER = textwrap.dedent(
     loss_d = float(np.asarray(jax.device_get(ms.loss_d)).mean())
     loss_g = float(np.asarray(jax.device_get(ms.loss_g)).mean())
     print(f"RESULT {loss_d!r} {loss_g!r}", flush=True)
+
+    # Trainer-level chunked driver (--epochsPerCompile) on the same
+    # global mesh: the chunk path must build its pool stack via the
+    # multi-process-safe global_put, not a raw device_put (which cannot
+    # target other hosts' chips).
+    import dataclasses
+    from facegen.train.loop import Trainer
+
+    cfg2 = dataclasses.replace(cfg, noplot=True, epochs_per_compile=2,
+                               n_epoch=32, epochs=2)
+    tr = Trainer(cfg2, mesh=mesh, verbose=False)
+    stats = tr.train_epochs_chunk(0, 2)
+    assert len(stats) == 2, stats
+    print(f"CHUNK {stats[-1]['loss_d_mean']!r} {stats[-1]['loss_g_mean']!r}",
+          flush=True)
     """
 )
 
@@ -148,16 +163,17 @@ def test_two_process_data_parallel_epoch():
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
-    results = [
-        line for out in outs for line in out.splitlines()
-        if line.startswith("RESULT ")
-    ]
-    assert len(results) == 2, outs
-    # replicated-out metrics: every process must report the same values
-    assert results[0] == results[1], results
-    loss_d, loss_g = (float(t) for t in results[0].split()[1:])
-    assert np.isfinite(loss_d) and np.isfinite(loss_g)
+    for prefix in ("RESULT ", "CHUNK "):
+        results = [
+            line for out in outs for line in out.splitlines()
+            if line.startswith(prefix)
+        ]
+        assert len(results) == 2, (prefix, outs)
+        # replicated-out metrics: every process must report the same values
+        assert results[0] == results[1], results
+        loss_d, loss_g = (float(t) for t in results[0].split()[1:])
+        assert np.isfinite(loss_d) and np.isfinite(loss_g)
