@@ -21,6 +21,31 @@ TPU-first:
 __version__ = "0.1.0"
 
 
+def host_cache_tag() -> str:
+    """Fingerprint of this host's CPU feature set, used to namespace the
+    persistent compile cache per machine.
+
+    XLA:CPU cache entries are AOT machine code compiled for the feature
+    set of the machine that WROTE them; when a cache directory survives a
+    machine change (same disk, new host), reloading those entries logs
+    "could lead to execution errors such as SIGILL" — and can actually
+    deliver that SIGILL (observed: a 2-process integration test whose
+    workers died loading another machine's AOT blobs). Keying the cache
+    path by CPU flags gives a stale-proof cache instead: a new machine
+    silently starts a fresh namespace.
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except Exception:
+        flags = platform.processor()
+    raw = f"{platform.machine()}:{flags}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache() -> None:
     """Persistent XLA compilation cache for every facegen entry point.
 
@@ -28,6 +53,8 @@ def _enable_persistent_compile_cache() -> None:
     compiles per process on the TPU); caching them makes repeat runs —
     resume chains, samplers, benchmarks — start in seconds. Directory
     override / opt-out via FACEGEN_CACHE_DIR (set empty to disable).
+    The directory is namespaced per host CPU (`host_cache_tag`) so a
+    cache that outlives its machine cannot poison the next one.
     Never raises: an unwritable cache dir just disables caching.
     """
     import os
@@ -42,6 +69,7 @@ def _enable_persistent_compile_cache() -> None:
     try:
         import jax
 
+        path = os.path.join(path, host_cache_tag())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

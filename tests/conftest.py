@@ -27,8 +27,15 @@ _cache_dir = os.environ.get(
 )
 # facegen/__init__ installs its own persistent cache dir on import; point
 # it at the same place so a later `import facegen` can't redirect it.
+# The path is namespaced per host CPU (facegen.host_cache_tag): XLA:CPU
+# cache entries are AOT machine code, and a cache dir surviving a machine
+# change can SIGILL the process that reloads it.
 os.environ["FACEGEN_CACHE_DIR"] = _cache_dir
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
+from facegen import host_cache_tag  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_cache_dir, host_cache_tag()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
