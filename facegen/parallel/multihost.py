@@ -110,6 +110,37 @@ def hybrid_mesh(ici_dp: int = -1, ici_mp: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def warmup_collectives(mesh: Optional[Mesh] = None) -> None:
+    """Establish the cross-process collective clique with a trivial
+    all-reduce BEFORE the first big program. No-op in single-process runs.
+
+    XLA:CPU's gloo backend (and the coordination-service bootstrap in
+    general) creates its communicator clique at the first collective
+    EXECUTION, exchanging keys with a fixed ~30 s deadline that
+    jax.distributed.initialize does not expose. A peer process still
+    COMPILING its first program misses that deadline and the whole run
+    dies with "Gloo context initialization failed: DEADLINE_EXCEEDED" —
+    real first programs here are whole-epoch `lax.scan`s with
+    minutes-long compiles, and compile skew between processes is
+    unbounded (cache hits on one host but not another, CPU load, ...).
+    This ~1 s program brings every process to the key exchange
+    together; the established clique is then reused by the big programs
+    over the same devices. Trainers call this automatically when handed
+    a multi-process mesh.
+    """
+    if not is_multiprocess():
+        return
+    mesh = global_mesh() if mesh is None else mesh
+    arr = global_put(
+        np.arange(mesh.devices.size, dtype=np.float32),
+        mesh, P(mesh.axis_names[0]),
+    )
+    import jax.numpy as jnp
+
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    jax.block_until_ready(total)
+
+
 def global_put(value, mesh: Mesh, spec: P = P()) -> jax.Array:
     """Build a GLOBAL array on a (possibly multi-process) mesh from a
     host value every process holds in full. Each process materializes

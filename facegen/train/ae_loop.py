@@ -116,8 +116,10 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
     tx_opt = optax.adam(1e-3).init(params)
     if mesh is not None:
         from facegen.parallel import ensure_mesh2d
+        from facegen.parallel.multihost import warmup_collectives
 
         mesh = ensure_mesh2d(mesh)
+        warmup_collectives(mesh)  # no-op single-process
     epoch_fn = make_ae_epoch(model, cfg, mesh=mesh)
     source = source or make_source(cfg)
     n_pool = min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384)
@@ -257,8 +259,10 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
     opt2 = tx.init(bundle["AE2_DECODER"]["params"])
     if mesh is not None:
         from facegen.parallel import ensure_mesh2d
+        from facegen.parallel.multihost import warmup_collectives
 
         mesh = ensure_mesh2d(mesh)
+        warmup_collectives(mesh)  # no-op single-process
     epoch_fn = make_denoiser_epoch(enc, dec1, dec2, cfg, mesh=mesh)
     val_fn = make_denoiser_val(dec1, cfg)
     # TRAIN = images [1, 10000], VAL = [10001, 10256]

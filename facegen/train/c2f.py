@@ -260,8 +260,10 @@ class C2FTrainer:
                 make_gspmd_c2f_epoch,
                 shard_state,
             )
+            from facegen.parallel.multihost import warmup_collectives
 
             self.mesh = mesh = ensure_mesh2d(mesh)
+            warmup_collectives(mesh)  # no-op single-process
             self.state = shard_state(self.state, mesh)
             self.epoch_fn = make_gspmd_c2f_epoch(self.g, self.d, cfg, mesh,
                                                  pool_n)

@@ -70,6 +70,13 @@ class Trainer:
 
         pool_n = cfg.n_epoch if cfg.n_epoch > 0 else self.source.size
         self.pool_n = pool_n
+        if mesh is not None:
+            # multi-process: establish the collective clique with a tiny
+            # all-reduce before the first minutes-long epoch compile
+            # (multihost.warmup_collectives; no-op single-process)
+            from facegen.parallel.multihost import warmup_collectives
+
+            warmup_collectives(mesh)
         if mesh is not None and "model" in mesh.axis_names:
             # 2-D (data x model) GSPMD mesh: sharded params/opt state,
             # exact global-batch semantics (parallel/gspmd.py)

@@ -89,6 +89,11 @@ _WORKER = textwrap.dedent(
 
     mesh = multihost.global_mesh()
     assert mesh.shape["data"] == 8
+    # establish the gloo clique with a tiny all-reduce BEFORE the
+    # minutes-long epoch compile: the clique bootstrap has a fixed ~30 s
+    # key-exchange deadline that an unlucky compile skew between the two
+    # workers can miss (multihost.warmup_collectives docstring)
+    multihost.warmup_collectives(mesh)
     cfg = TrainConfig(batch_size=16, scale=16, n_epoch=64,
                       save="/tmp/facegen_mh", synthetic_data=True)
     g, d, bundle = gan.init_gan(jax.random.key(0), cfg.scale, 3,
