@@ -114,10 +114,28 @@ def state_shardings(state: GanState, mesh: Mesh, min_shard: int = 64):
     return jax.tree.map(spec_of, state)
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes.
+
+    `jax.device_put` cannot target another host's chips; when the mesh
+    spans processes, build the global array from this process's
+    addressable shards instead (every process holds the full host value
+    — shared seeds/checkpoints — the same contract as
+    multihost.global_put)."""
+    mesh = sharding.mesh
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        import numpy as np
+
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_state(state: GanState, mesh: Mesh, min_shard: int = 64) -> GanState:
     """Place a GanState on the mesh per the sharding rule."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s),
+        _put,
         state,
         state_shardings(state, mesh, min_shard),
     )
@@ -146,7 +164,7 @@ def shard_pool_2d(pool, mesh: Mesh):
     single-device program's."""
     n = mesh.shape[DATA_AXIS]
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(_wrap_pad(x, n), sh), pool)
+    return jax.tree.map(lambda x: _put(_wrap_pad(x, n), sh), pool)
 
 
 def _noise_sharding(mesh: Mesh) -> NamedSharding:

@@ -127,6 +127,14 @@ def train_autoencoder(cfg: TrainConfig, source=None, epochs: Optional[int] = Non
         # round down to a data-axis multiple: the shuffled-permutation
         # sampler must never see wrap-padded duplicate rows
         n_pool -= n_pool % mesh.shape["data"]
+    if n_pool < cfg.batch_size:
+        # a sub-batch pool would yield ZERO batches per epoch and train
+        # nothing while reporting loss 0.0 — fail loudly instead
+        raise ValueError(
+            f"epoch pool of {n_pool} images is smaller than "
+            f"batchSize {cfg.batch_size}; raise --N_epoch or lower "
+            f"--batchSize"
+        )
     pool = source.epoch_pool(jax.random.key(cfg.seed + 2), n_pool)
     if mesh is not None:
         from facegen.parallel import shard_pool_2d
@@ -274,6 +282,12 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
     n_pool = min(cfg.n_epoch if cfg.n_epoch > 0 else 10000, 16384)
     if mesh is not None:
         n_pool -= n_pool % mesh.shape["data"]  # see train_autoencoder
+    if n_pool < cfg.batch_size:
+        raise ValueError(  # see train_autoencoder: zero batches otherwise
+            f"epoch pool of {n_pool} images is smaller than "
+            f"batchSize {cfg.batch_size}; raise --N_epoch or lower "
+            f"--batchSize"
+        )
     pool = source.epoch_pool(jax.random.key(cfg.seed + 2), n_pool)
     val_pool = source.range_pool(0, 256, jax.random.key(cfg.seed + 3))
     if mesh is not None:

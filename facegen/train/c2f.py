@@ -242,7 +242,7 @@ class C2FTrainer:
             tcfg = TrainConfig(
                 scale=cfg.fine_size, grayscale=cfg.grayscale,
                 synthetic_data=cfg.synthetic_data, dataset_dir=cfg.dataset_dir,
-                aws=cfg.aws,
+                aws=cfg.aws, threads=cfg.threads,
             )
             source = make_source(tcfg, holdout=cfg.val_size)
         self.source = source
@@ -279,10 +279,7 @@ class C2FTrainer:
             self.resume(cfg.network)
 
     def resume(self, network: str):
-        directory, name = os.path.split(network.rstrip("/"))
-        directory = directory or self.cfg.save
-        if name.endswith(".net"):  # reference-style name, like Trainer.resume
-            name = name[: -len(".net")]
+        directory, name = ckpt.split_network_arg(network, self.cfg.save)
         # c2f resume restores OPTSTATE too (train_c2f.lua:109-116)
         self.state, meta = ckpt.load(directory, name, self.state)
         # restore the best-parzen watermark so a resumed run cannot
@@ -391,9 +388,13 @@ class C2FTrainer:
         n = epochs if epochs is not None else (
             self.cfg.epochs if self.cfg.epochs > 0 else None
         )
+        # continue the per-epoch RNG stream from the restored epoch
+        # counter (see Trainer.run) — a resumed run must not replay the
+        # original run's pools/noise
+        start = int(self.state.epoch) - 1
         i = 0
         while n is None or i < n:
-            yield self.train_epoch(i)
+            yield self.train_epoch(start + i)
             i += 1
         # bounded runs must not exit unsaved (see Trainer.run)
         if n is not None and (int(self.state.epoch) - 1) % self.cfg.save_freq != 0:

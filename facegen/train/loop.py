@@ -232,11 +232,14 @@ class Trainer:
         n_examples = cfg.n_epoch if cfg.n_epoch > 0 else self.pool_n
         # one device->host fetch for all per-epoch scalars (each
         # individual int()/float() pull is a tunnel round-trip)
-        trained, not_trained, conf, loss_g_mean, acc_d_mean = jax.device_get((
-            self.state.trained_d, self.state.not_trained_d,
-            self.state.confusion, jnp.mean(ms.loss_g), jnp.mean(ms.acc_d),
-        ))
+        trained, not_trained, conf, loss_g_mean, acc_d_mean, epoch_now = (
+            jax.device_get((
+                self.state.trained_d, self.state.not_trained_d,
+                self.state.confusion, jnp.mean(ms.loss_g),
+                jnp.mean(ms.acc_d), self.state.epoch,
+            )))
         trained, not_trained = int(trained), int(not_trained)
+        epoch_now = int(epoch_now)
         conf = np.asarray(conf)
         total_valid = float(M.total_valid(conf))
         self._log(f"<trainer> time required for this epoch = {dt:.3f} s")
@@ -245,7 +248,7 @@ class Trainer:
         self._log(M.format_confusion(conf))
 
         stats = {
-            "epoch": int(self.state.epoch) - 1,
+            "epoch": epoch_now - 1,
             "seconds": dt,
             "images_per_sec": n_examples / dt,
             "loss_d_mean": loss_d_sum / max(len(ms.loss_d), 1),
@@ -258,7 +261,7 @@ class Trainer:
         self.state = reset_epoch_stats(self.state)
         self.metrics_log.log(stats)
 
-        if (int(self.state.epoch) - 1) % self.cfg.save_freq == 0:
+        if (epoch_now - 1) % self.cfg.save_freq == 0:
             self.save()
         return stats
 
@@ -449,18 +452,25 @@ class Trainer:
 
         With epochsPerCompile > 1, epochs are trained in compiled chunks
         (train_epochs_chunk) but still yielded one stats dict per epoch.
+
+        The per-epoch RNG index continues from the restored epoch
+        counter, so a resumed run (--network) draws FRESH pools and
+        noise instead of replaying the original run's stream (the
+        invariant: RNG index == global epoch number - 1, fresh or
+        resumed).
         """
         n = epochs if epochs is not None else (
             self.cfg.epochs if self.cfg.epochs > 0 else None
         )
         epc = max(self.epochs_per_compile, 1)
+        start = int(self.state.epoch) - 1
         i = 0
         while n is None or i < n:
             chunk = epc if n is None else min(epc, n - i)
             if chunk <= 1:
-                yield self.train_epoch(i)
+                yield self.train_epoch(start + i)
             else:
-                yield from self.train_epochs_chunk(i, chunk)
+                yield from self.train_epochs_chunk(start + i, chunk)
             i += chunk
         if n is not None and (int(self.state.epoch) - 1) % self.cfg.save_freq != 0:
             self.save()

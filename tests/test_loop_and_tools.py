@@ -103,6 +103,51 @@ def test_trainer_epoch_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_run_resume_continues_rng_stream(tmp_path):
+    """run() after a --network resume must CONTINUE the per-epoch RNG
+    stream from the restored epoch counter (review fix: restarting at
+    index 0 replayed the original run's pools and noise verbatim).
+    1-epoch-then-resume-1 must equal a straight 2-epoch run()."""
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    # epochs_per_compile pinned to 1: under --noplot the auto mode would
+    # take the CHUNKED path for the straight run but the sequential path
+    # for the 1-epoch parts, and chunked-vs-sequential is RNG-equivalent
+    # but not bitwise identical (different XLA program structure)
+    cfg = tiny_cfg(tmp_path, noplot=True, save_freq=1000, epochs=-1,
+                   epochs_per_compile=1)
+    straight = Trainer(cfg, verbose=False)
+    list(straight.run(epochs=2))
+
+    cfg_a = tiny_cfg(tmp_path, noplot=True, save_freq=1000, epochs=-1,
+                     epochs_per_compile=1, save=str(tmp_path / "logs_r"))
+    part1 = Trainer(cfg_a, verbose=False)
+    list(part1.run(epochs=1))  # bounded run saves at exit
+    cfg_b = tiny_cfg(tmp_path, noplot=True, save_freq=1000, epochs=-1,
+                     epochs_per_compile=1,
+                     save=str(tmp_path / "logs_r"), network=CKPT_NAME)
+    part2 = Trainer(cfg_b, verbose=False)
+    stats = list(part2.run(epochs=1))
+    assert stats[0]["epoch"] == 2
+    for a, b in zip(jax.tree.leaves(straight.state.params_g),
+                    jax.tree.leaves(part2.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ae_rejects_sub_batch_pool(tmp_path):
+    """A pool smaller than batchSize would yield ZERO batches and train
+    nothing while logging loss 0.0 — both AE trainers must refuse."""
+    import pytest
+
+    from facegen.train.ae_loop import train_autoencoder, train_denoiser
+
+    cfg = tiny_cfg(tmp_path, batch_size=32, n_epoch=16, noplot=True)
+    with pytest.raises(ValueError, match="smaller than"):
+        train_autoencoder(cfg, epochs=1, verbose=False)
+    with pytest.raises(ValueError, match="smaller than"):
+        train_denoiser(cfg, epochs=1, verbose=False)
+
+
 def test_trainer_on_packed_store(tmp_path):
     """Full path with a real packed dataset: fake LFW jpegs -> builder ->
     make_source(dataset_dir) -> Trainer epoch (store gather + prefetch)."""

@@ -100,8 +100,8 @@ _WORKER = textwrap.dedent(
                                 cfg.noise_dim)
     state = replicate(init_state(cfg, bundle), mesh)
     raw = synthetic_faces(jax.random.key(1), 128)
-    pool = np.asarray(prepare_pool(raw, jax.random.key(2), cfg.scale, 3))
-    pool = shard_pool(pool, mesh)
+    pool_np = np.asarray(prepare_pool(raw, jax.random.key(2), cfg.scale, 3))
+    pool = shard_pool(pool_np, mesh)
     epoch = make_parallel_epoch(g, d, cfg, mesh)
     state, ms = epoch(state, jax.random.key(3), pool)
     loss_d = float(np.asarray(jax.device_get(ms.loss_d)).mean())
@@ -122,6 +122,20 @@ _WORKER = textwrap.dedent(
     assert len(stats) == 2, stats
     print(f"CHUNK {stats[-1]['loss_d_mean']!r} {stats[-1]['loss_g_mean']!r}",
           flush=True)
+
+    # GSPMD placement on a multi-process 2-D mesh (no step execution —
+    # this pins the gspmd._put callback route; a raw device_put here
+    # cannot target the other process's devices)
+    from facegen.parallel import shard_pool_2d, shard_state
+    from facegen.train.step import init_state
+
+    mesh2 = multihost.hybrid_mesh(ici_dp=2, ici_mp=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+    st2 = shard_state(init_state(cfg, bundle), mesh2)
+    p2 = shard_pool_2d(pool_np, mesh2)
+    assert len(p2.sharding.device_set) == 8, p2.sharding
+    n_leaves = len(jax.tree.leaves(st2))
+    print(f"GSPMD2D {n_leaves} {p2.shape[0]}", flush=True)
     """
 )
 
@@ -168,11 +182,13 @@ def test_two_process_data_parallel_epoch():
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # generous: the workers compile several epoch-sized programs and
+        # share the box with whatever else the suite is running
+        out, _ = p.communicate(timeout=2400)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
-    for prefix in ("RESULT ", "CHUNK "):
+    for prefix in ("RESULT ", "CHUNK ", "GSPMD2D "):
         results = [
             line for out in outs for line in out.splitlines()
             if line.startswith(prefix)
@@ -180,5 +196,6 @@ def test_two_process_data_parallel_epoch():
         assert len(results) == 2, (prefix, outs)
         # replicated-out metrics: every process must report the same values
         assert results[0] == results[1], results
-        loss_d, loss_g = (float(t) for t in results[0].split()[1:])
-        assert np.isfinite(loss_d) and np.isfinite(loss_g)
+        if prefix != "GSPMD2D ":
+            loss_d, loss_g = (float(t) for t in results[0].split()[1:])
+            assert np.isfinite(loss_d) and np.isfinite(loss_g)
