@@ -56,6 +56,18 @@ def prepare_pool(
     return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
 
+def _one_pool(store, key, n, scale, channels, augment, holdout):
+    """The single fused pool build: index draw + gather + augment +
+    resize. Bitwise-identical to the host route (DataSource.draw_indices
+    sorts its randint draw; jnp.sort here reproduces it exactly). The
+    ONE copy of the draw logic behind both jitted wrappers below — the
+    row-for-row single-vs-stacked equivalence contract lives here."""
+    k_sel, k_aug = jax.random.split(key)
+    idx = jnp.sort(jax.random.randint(k_sel, (n,), holdout, store.shape[0]))
+    raw = jnp.take(store, idx, axis=0)
+    return prepare_pool(raw, k_aug, scale, channels, augment)
+
+
 @partial(jax.jit, static_argnames=("n", "scale", "channels", "augment", "holdout"))
 def _pool_from_device_store(
     store: jax.Array,
@@ -66,17 +78,10 @@ def _pool_from_device_store(
     augment: bool,
     holdout: int,
 ) -> jax.Array:
-    """One fused device program: index draw + gather + augment + resize.
-
-    Bitwise-identical to the host route (DataSource.draw_indices sorts
-    its randint draw; jnp.sort here reproduces it exactly), but with
-    ZERO host work and one dispatch instead of four round-trips — the
-    fast path when the packed store fits in HBM (see
-    DataSource.device_store)."""
-    k_sel, k_aug = jax.random.split(key)
-    idx = jnp.sort(jax.random.randint(k_sel, (n,), holdout, store.shape[0]))
-    raw = jnp.take(store, idx, axis=0)
-    return prepare_pool(raw, k_aug, scale, channels, augment)
+    """One fused device program with ZERO host work and one dispatch
+    instead of four round-trips — the fast path when the packed store
+    fits in HBM (see DataSource.device_store)."""
+    return _one_pool(store, key, n, scale, channels, augment, holdout)
 
 
 @partial(jax.jit, static_argnames=("n", "scale", "channels", "augment", "holdout"))
@@ -96,14 +101,10 @@ def _pools_from_device_store(
     --epochsPerCompile chunk's worth of pools."""
     from jax import lax
 
-    def one(k):
-        k_sel, k_aug = jax.random.split(k)
-        idx = jnp.sort(
-            jax.random.randint(k_sel, (n,), holdout, store.shape[0]))
-        return prepare_pool(jnp.take(store, idx, axis=0), k_aug, scale,
-                            channels, augment)
-
-    return lax.map(one, keys)
+    return lax.map(
+        lambda k: _one_pool(store, k, n, scale, channels, augment, holdout),
+        keys,
+    )
 
 
 # Packed stores at or below this size live in HBM for the run (the full

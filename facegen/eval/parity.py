@@ -125,6 +125,8 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray,
 # device-side measurement primitives
 # ---------------------------------------------------------------------------
 
+_EMBED_CACHE: dict = {}
+
 
 def d_penultimate_features(
     d: Module, bundle: dict, images, batch: int = 256,
@@ -140,13 +142,24 @@ def d_penultimate_features(
     children = d.children
     assert len(children) >= 2, "discriminator must be a sequential"
 
-    @jax.jit
-    def _embed(params_d, state_d, x):
-        ctx = Ctx(None, False)
-        h = x.astype(dtype)
-        for i, (k, m) in enumerate(children[:-1]):
-            h, _ = m.apply(params_d[k], state_d[k], h, ctx.fold(i))
-        return h.astype(jnp.float32)
+    # a report embeds 2-3 populations with the SAME d — cache the jitted
+    # closure per (module, dtype) or every call would recompile the
+    # identical D-forward program (the dict holds d alive, so ids stay
+    # unique for the cache's lifetime)
+    cache_key = (id(d), compute_dtype)
+    cached = _EMBED_CACHE.get(cache_key)
+    if cached is None or cached[0] is not d:
+
+        @jax.jit
+        def _embed(params_d, state_d, x):
+            ctx = Ctx(None, False)
+            h = x.astype(dtype)
+            for i, (k, m) in enumerate(children[:-1]):
+                h, _ = m.apply(params_d[k], state_d[k], h, ctx.fold(i))
+            return h.astype(jnp.float32)
+
+        _EMBED_CACHE[cache_key] = (d, _embed)
+    _embed = _EMBED_CACHE[cache_key][1]
 
     imgs = np.asarray(images, np.float32)
     n = imgs.shape[0]

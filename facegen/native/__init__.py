@@ -143,8 +143,28 @@ def decode_crop_resize_batch(
         if failures == 0:
             return out
         # fall through to PIL for robustness if anything failed
-    from facegen.data.lfw import load_and_crop
+    # PIL fallback must honor the SAME crop box and out_size the native
+    # path was asked for (a --no-crop build passes a full-frame box, and
+    # out_size is a public parameter) — and redo every row: the native
+    # path does not report WHICH rows failed.
+    import numpy as _np
+    from PIL import Image
 
+    y0, y1, x0, x1 = crop
     for i, p in enumerate(paths):
-        out[i] = load_and_crop(p)
+        im = Image.open(p).convert("RGB")
+        arr = _np.asarray(im)
+        h, w = arr.shape[:2]
+        # crop only when the image contains the full box — the same
+        # skip-small-images rule as data/lfw.py:load_and_crop (the
+        # --no-crop sentinel box (0, 1<<30, ...) never fits, so it
+        # naturally degrades to full-frame)
+        if h >= y1 + 1 and w >= x1 + 1:
+            arr = arr[y0 : y1 + 1, x0 : x1 + 1]
+        if arr.shape[:2] != (out_size, out_size):
+            arr = _np.asarray(
+                Image.fromarray(arr).resize((out_size, out_size),
+                                            Image.BILINEAR)
+            )
+        out[i] = arr
     return out

@@ -151,7 +151,12 @@ def nearest_neighbours(
     shard over "data" and XLA distributes the GEMM + top-k. Returns
     (indices, distances).
     """
-    q = jnp.asarray(queries).reshape(len(queries), -1).astype(jnp.float32)
+    q = jnp.asarray(queries)
+    if q.dtype == jnp.uint8:
+        # same [0,1] normalization prepare_nn_dataset applies to the
+        # dataset side — mixed scales would silently return garbage
+        q = q.astype(jnp.float32) / 255.0
+    q = q.reshape(len(queries), -1).astype(jnp.float32)
     if isinstance(dataset, jax.Array) and dataset.ndim == 2:
         df = dataset
     else:

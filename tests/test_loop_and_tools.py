@@ -273,6 +273,16 @@ def test_nearest_neighbours_exact():
     assert (dist[:, 0] < 0.02).all()
 
 
+def test_nearest_neighbours_uint8_queries_normalized():
+    """uint8 queries must get the same /255 normalization as a uint8
+    dataset (review fix: mixed scales silently returned garbage —
+    querying a dataset with its own rows gave distance ~2000, not 0)."""
+    data = np.random.RandomState(1).randint(0, 256, (50, 4, 4, 3), np.uint8)
+    idx, dist = nearest_neighbours(data[[3, 17]], data, k=1)
+    np.testing.assert_array_equal(idx[:, 0], [3, 17])
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-4)
+
+
 def test_to_grid_geometry():
     imgs = np.zeros((5, 4, 4, 3), np.float32)
     grid = to_grid(imgs, nrow=3, padding=1)

@@ -59,6 +59,35 @@ def test_decode_crop_resize_matches_pil(tmp_path):
         assert float(np.mean(diff)) < 4.0, float(np.mean(diff))
 
 
+def test_decode_fallback_honors_crop_and_out_size(tmp_path, monkeypatch):
+    """The PIL fallback must honor the crop box and out_size it was
+    asked for (review fix: it used to apply the fixed LFW crop to
+    --no-crop builds and crash for out_size != 64)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (250, 250, 3)).astype(np.uint8)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(img).save(p, quality=95)
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)  # force fallback
+    # --no-crop sentinel box: full frame, any out_size
+    got = native.decode_crop_resize_batch(
+        [str(p)], out_size=32, crop=(0, 1 << 30, 0, 1 << 30))
+    assert got.shape == (1, 32, 32, 3)
+    decoded = np.asarray(Image.open(p).convert("RGB"))
+    ref = np.asarray(
+        Image.fromarray(decoded).resize((32, 32), Image.BILINEAR))
+    np.testing.assert_array_equal(got[0], ref)
+    # default crop box at a non-default out_size
+    got64 = native.decode_crop_resize_batch([str(p)], out_size=48)
+    assert got64.shape == (1, 48, 48, 3)
+    ref48 = np.asarray(
+        Image.fromarray(decoded[92:176, 83:167]).resize((48, 48),
+                                                        Image.BILINEAR))
+    np.testing.assert_array_equal(got64[0], ref48)
+
+
 def test_prefetcher_synthetic_noop_and_sync_equal():
     import jax
 
