@@ -137,3 +137,38 @@ def test_refine_c2f_shapes():
     out = refine_c2f(cfg, bundle, coarse_imgs, jax.random.key(2), tries=4)
     assert out.shape == (3, cfg.fine_size, cfg.fine_size, 1)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_refine_c2f_picks_max_d_score_candidate():
+    """Semantic pin for the sampler's c2f() refinement (sample.lua:176-214):
+    per image, generate `tries` candidate diffs, keep the one the c2f D
+    scores highest, add it to the bilinearly upscaled coarse. Brute-forced
+    here with a per-image/per-try python loop over the same nets and the
+    same noise tensor."""
+    from facegen.sample import refine_c2f
+
+    cfg = tiny_cfg()
+    fs, c, tries, n = cfg.fine_size, 1, 4, 3
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), fs, c)
+    coarse_imgs = jax.random.uniform(
+        jax.random.key(1), (n, cfg.coarse_size, cfg.coarse_size, c))
+    key = jax.random.key(2)
+    out = np.asarray(refine_c2f(cfg, bundle, coarse_imgs, key, tries=tries))
+
+    # brute force with the identical noise draw (refine_c2f's internal
+    # (n, tries, fs, fs, 1) uniform from the same key)
+    up = jax.image.resize(coarse_imgs.astype(jnp.float32), (n, fs, fs, c),
+                          "linear")
+    z = jax.random.uniform(key, (n, tries, fs, fs, 1), jnp.float32, -1.0, 1.0)
+    for i in range(n):
+        best_score, best_diff = None, None
+        for t in range(tries):
+            diff, _ = g.apply(bundle["params_g"], bundle["state_g"],
+                              (z[i, t][None], up[i][None]), Ctx(None, False))
+            logit, _ = d.apply(bundle["params_d"], bundle["state_d"],
+                               (diff, up[i][None]), Ctx(None, False))
+            s = float(logit.reshape(()))
+            if best_score is None or s > best_score:
+                best_score, best_diff = s, diff[0]
+        want = np.clip(np.asarray(up[i] + best_diff), 0.0, 1.0)
+        np.testing.assert_allclose(out[i], want, atol=1e-5)
