@@ -15,7 +15,10 @@ def main(argv=None):
     p.add_argument("--save", default="logs", help="checkpoint parent dir")
     p.add_argument("--network", default="adversarial", help="checkpoint name")
     args = p.parse_args(argv)
-    target = os.path.join(args.save, args.network)
+    # accept both --network NAME (joined with --save, like train.py) and
+    # --network dir/name as the other CLIs do (models/gan.py:restore_gan)
+    target = (args.network if os.path.isdir(args.network)
+              else os.path.join(args.save, args.network))
     with open(os.path.join(target, "meta.json")) as f:
         meta = json.load(f)
     print(f"checkpoint: {target}")

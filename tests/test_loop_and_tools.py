@@ -506,3 +506,24 @@ def test_trainer_unbounded_n_epoch_synthetic_is_sane(tmp_path):
     cfg = tiny_cfg(tmp_path, n_epoch=-1, noplot=True)
     tr = Trainer(cfg, verbose=False)
     assert tr.pool_n == 16_384
+
+
+def test_show_model_content_both_path_forms(tmp_path, capsys):
+    """show_model_content.py accepts --save DIR --network NAME (like
+    train.py) and --network DIR/NAME (like every other CLI)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import show_model_content
+    from facegen.train.loop import Trainer
+
+    cfg = tiny_cfg(tmp_path, noplot=True)
+    Trainer(cfg, verbose=False).save()
+
+    show_model_content.main(["--save", cfg.save, "--network", "adversarial"])
+    out1 = capsys.readouterr().out
+    show_model_content.main(["--network", os.path.join(cfg.save, "adversarial")])
+    out2 = capsys.readouterr().out
+    for out in (out1, out2):
+        assert "epoch:" in out and "params_g" in out
+    assert out1.splitlines()[1:] == out2.splitlines()[1:]  # same content
