@@ -346,3 +346,37 @@ def test_d16d_forward_matches_torch():
     with torch.no_grad():
         theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_norm_train_mode_matches_torch():
+    """Train-mode BN semantics vs torch: normalize by BIASED batch
+    variance, update running_var with the UNBIASED one, momentum 0.1
+    (nn.SpatialBatchNormalization; the classic cross-framework trap).
+    Measured parity ~6e-7."""
+    from facegen.nn import layers as L
+
+    bn = L.batch_norm()
+    params, state, _ = bn.init(jax.random.key(0), (8, 8, 5))
+    rs = np.random.RandomState
+    params["scale"] = jnp.asarray(rs(0).uniform(0.5, 1.5, 5).astype(np.float32))
+    params["bias"] = jnp.asarray(rs(1).uniform(-0.5, 0.5, 5).astype(np.float32))
+    state = {"mean": jnp.asarray(rs(2).normal(0, 1, 5).astype(np.float32)),
+             "var": jnp.asarray(rs(3).uniform(0.5, 2, 5).astype(np.float32))}
+    x = rs(4).normal(0, 2, (4, 8, 8, 5)).astype(np.float32)
+    y, new_state = bn.apply(params, state, jnp.asarray(x),
+                            Ctx(jax.random.key(1), True))
+
+    tbn = torch.nn.BatchNorm2d(5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(to_t(params["scale"]))
+        tbn.bias.copy_(to_t(params["bias"]))
+        tbn.running_mean.copy_(to_t(state["mean"]))
+        tbn.running_var.copy_(to_t(state["var"]))
+    tbn.train()
+    ty = tbn(to_t(np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
+    np.testing.assert_allclose(np.asarray(y), ty.transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
