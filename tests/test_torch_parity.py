@@ -380,3 +380,91 @@ def test_batch_norm_train_mode_matches_torch():
                                tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_state["var"]),
                                tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_autoencoder_forward_matches_torch():
+    """The flat AE (train_autoencoder.lua:79-92): View -> 512 ReLU ->
+    noiseDim tanh -> dropout -> 256 ReLU -> input_sz sigmoid -> View.
+    Grayscale (C=1), so NHWC and CHW flatten orders coincide."""
+    import torch.nn as nn
+
+    from facegen.models import ae as AE
+
+    scale, nd = 16, 32
+    model = AE.create_autoencoder(scale, 1, nd)
+    params, state, _ = model.init(jax.random.key(0), (scale, scale, 1))
+    x = np.asarray(jax.random.uniform(jax.random.key(1), (4, scale, scale, 1),
+                                      jnp.float32))
+    ours, _ = model.apply(params, state, jnp.asarray(x), Ctx(None, False))
+
+    net = nn.Sequential(
+        nn.Flatten(),
+        nn.Linear(scale * scale, 512), nn.ReLU(),
+        nn.Linear(512, nd), nn.Tanh(),
+        nn.Dropout(0.5),
+        nn.Linear(nd, 256), nn.ReLU(),
+        nn.Linear(256, scale * scale), nn.Sigmoid(),
+        nn.Unflatten(1, (1, scale, scale)),
+    )
+    with torch.no_grad():
+        for t_idx, key in [(1, "01_enc1"), (3, "03_enc2"), (6, "06_dec1"),
+                           (8, "08_dec2")]:
+            net[t_idx].weight.copy_(to_t(params[key]["w"]).T)
+            net[t_idx].bias.copy_(to_t(params[key]["b"]))
+    net.eval()
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_denoiser_decoder_forward_matches_torch():
+    """The denoiser decoder (train_denoiser.lua:86-106): 2 x [3x3 VALID
+    conv to 8ch + BN + LeakyReLU(1/3)] -> dropout -> Linear 8*(s-4)^2 ->
+    2048 + BN1d + LeakyReLU -> dropout -> Linear -> sigmoid -> View."""
+    import torch.nn as nn
+
+    from facegen.models import ae as AE
+
+    scale = 16
+    dec = AE.create_denoiser_decoder(scale, 1)
+    params, state, _ = dec.init(jax.random.key(0), (scale, scale, 1))
+    # non-trivial BN running stats
+    state = jax.tree.map(lambda a: a + 0.03 if a.ndim == 1 else a, state)
+    x = np.asarray(jax.random.uniform(jax.random.key(1), (4, scale, scale, 1),
+                                      jnp.float32))
+    ours, _ = dec.apply(params, state, jnp.asarray(x), Ctx(None, False))
+
+    s4 = scale - 4
+    net = nn.Sequential(
+        nn.Conv2d(1, 8, 3), nn.BatchNorm2d(8), nn.LeakyReLU(1.0 / 3.0),
+        nn.Conv2d(8, 8, 3), nn.BatchNorm2d(8), nn.LeakyReLU(1.0 / 3.0),
+        nn.Dropout(0.2), nn.Flatten(),
+        nn.Linear(8 * s4 * s4, 2048), nn.BatchNorm1d(2048),
+        nn.LeakyReLU(1.0 / 3.0), nn.Dropout(0.2),
+        nn.Linear(2048, scale * scale), nn.Sigmoid(),
+        nn.Unflatten(1, (1, scale, scale)),
+    )
+    with torch.no_grad():
+        for t_idx, key in [(0, "00_conv1"), (3, "03_conv2")]:
+            net[t_idx].weight.copy_(to_t(params[key]["w"]).permute(3, 2, 0, 1))
+            net[t_idx].bias.copy_(to_t(params[key]["b"]))
+        for t_idx, key in [(1, "01_batch_norm"), (4, "04_batch_norm"),
+                           (9, "09_batch_norm")]:
+            net[t_idx].weight.copy_(to_t(params[key]["scale"]))
+            net[t_idx].bias.copy_(to_t(params[key]["bias"]))
+            net[t_idx].running_mean.copy_(to_t(state[key]["mean"]))
+            net[t_idx].running_var.copy_(to_t(state[key]["var"]))
+        # fc1 consumes the NHWC (s-4, s-4, 8) flatten; torch is CHW
+        net[8].weight.copy_(
+            to_t(rows_nhwc_to_chw(params["08_fc1"]["w"], s4, s4, 8)).T)
+        net[8].bias.copy_(to_t(params["08_fc1"]["b"]))
+        net[12].weight.copy_(to_t(params["12_fc_out"]["w"]).T)
+        net[12].bias.copy_(to_t(params["12_fc_out"]["b"]))
+    net.eval()
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)
