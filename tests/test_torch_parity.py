@@ -468,3 +468,98 @@ def test_denoiser_decoder_forward_matches_torch():
     np.testing.assert_allclose(np.asarray(ours),
                                theirs.transpose(0, 2, 3, 1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_d32_three_branch_forward_matches_torch():
+    """The unused-variant 3-branch D32 (models.lua:322-376): fine/coarse
+    conv branches + a dense branch, ConcatTable/JoinTable, joined fc.
+    Pins the branch-concat ordering and all three flatten boundaries."""
+    import torch.nn as nn
+
+    channels = 3
+    d = gan.create_d32(32, channels)
+    params, state, _ = d.init(jax.random.key(0), (32, 32, channels))
+    x = np.asarray(jax.random.uniform(jax.random.key(1), (4, 32, 32, channels),
+                                      jnp.float32))
+    ours, _ = d.apply(params, state, jnp.asarray(x), Ctx(None, False))
+
+    class D32(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fine = nn.Sequential(
+                nn.Conv2d(channels, 64, 3, padding=1), nn.PReLU(),
+                nn.Conv2d(64, 64, 3, padding=1), nn.PReLU(),
+                nn.MaxPool2d(2), nn.Dropout2d(0.5), nn.Flatten(),
+                nn.Linear(64 * 16 * 16, 1024), nn.PReLU(),
+            )
+            self.coarse = nn.Sequential(
+                nn.Conv2d(channels, 32, 5, padding=2), nn.PReLU(),
+                nn.Conv2d(32, 32, 5, padding=2), nn.PReLU(),
+                nn.MaxPool2d(2),
+                nn.Conv2d(32, 54, 5, padding=2), nn.PReLU(),
+                nn.Conv2d(54, 54, 5, padding=2), nn.PReLU(),
+                nn.MaxPool2d(2), nn.Dropout2d(0.5), nn.Flatten(),
+                nn.Linear(54 * 8 * 8, 1024), nn.PReLU(), nn.Dropout(0.5),
+                nn.Linear(1024, 1024), nn.PReLU(),
+            )
+            self.dense = nn.Sequential(
+                nn.Flatten(),
+                nn.Linear(32 * 32 * channels, 1024), nn.PReLU(),
+                nn.Dropout(0.5),
+                nn.Linear(1024, 1024), nn.PReLU(),
+            )
+            self.head = nn.Sequential(
+                nn.Linear(3 * 1024, 1024), nn.PReLU(), nn.Dropout(0.5),
+                nn.Linear(1024, 1),
+            )
+
+        def forward(self, x):
+            return self.head(torch.cat(
+                [self.fine(x), self.coarse(x), self.dense(x)], dim=1))
+
+    net = D32()
+    pb = params["00_branches"]
+    fine, coarse, dense = pb["00_fine"], pb["01_coarse"], pb["02_dense"]
+
+    def load_conv(t, p):
+        t.weight.copy_(to_t(p["w"]).permute(3, 2, 0, 1))
+        t.bias.copy_(to_t(p["b"]))
+
+    def load_fc(t, p, hwc=None):
+        w = p["w"] if hwc is None else rows_nhwc_to_chw(p["w"], *hwc)
+        t.weight.copy_(to_t(w).T)
+        t.bias.copy_(to_t(p["b"]))
+
+    with torch.no_grad():
+        load_conv(net.fine[0], fine["00_conv1"])
+        net.fine[1].weight.copy_(to_t(fine["01_prelu"]["a"]))
+        load_conv(net.fine[2], fine["02_conv2"])
+        net.fine[3].weight.copy_(to_t(fine["03_prelu"]["a"]))
+        load_fc(net.fine[7], fine["07_fc"], hwc=(16, 16, 64))
+        net.fine[8].weight.copy_(to_t(fine["08_prelu"]["a"]))
+
+        load_conv(net.coarse[0], coarse["00_conv1"])
+        net.coarse[1].weight.copy_(to_t(coarse["01_prelu"]["a"]))
+        load_conv(net.coarse[2], coarse["02_conv2"])
+        net.coarse[3].weight.copy_(to_t(coarse["03_prelu"]["a"]))
+        load_conv(net.coarse[5], coarse["05_conv3"])
+        net.coarse[6].weight.copy_(to_t(coarse["06_prelu"]["a"]))
+        load_conv(net.coarse[7], coarse["07_conv4"])
+        net.coarse[8].weight.copy_(to_t(coarse["08_prelu"]["a"]))
+        load_fc(net.coarse[12], coarse["12_fc1"], hwc=(8, 8, 54))
+        net.coarse[13].weight.copy_(to_t(coarse["13_prelu"]["a"]))
+        load_fc(net.coarse[15], coarse["15_fc2"])
+        net.coarse[16].weight.copy_(to_t(coarse["16_prelu"]["a"]))
+
+        load_fc(net.dense[1], dense["01_fc1"], hwc=(32, 32, channels))
+        net.dense[2].weight.copy_(to_t(dense["02_prelu"]["a"]))
+        load_fc(net.dense[4], dense["04_fc2"])
+        net.dense[5].weight.copy_(to_t(dense["05_prelu"]["a"]))
+
+        load_fc(net.head[0], params["01_fc_join"])
+        net.head[1].weight.copy_(to_t(params["02_prelu"]["a"]))
+        load_fc(net.head[3], params["04_fc_out"])
+    net.eval()
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
