@@ -563,3 +563,54 @@ def test_d32_three_branch_forward_matches_torch():
     with torch.no_grad():
         theirs = net(to_t(np.transpose(x, (0, 3, 1, 2)))).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_c2f_d_forward_matches_torch():
+    """The used c2f discriminator D_c (models_c2f.lua:237-278):
+    CAddTable (diff + coarse = reconstructed fine) -> 4-conv stack ->
+    fc. Pins the add-head and the flatten boundary."""
+    import torch.nn as nn
+
+    from facegen.models import c2f as c2f_models
+
+    channels, fs = 3, 32
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), fs, channels)
+    pd = bundle["params_d"]["body"]
+    diff = np.asarray(jax.random.uniform(jax.random.key(1),
+                                         (2, fs, fs, channels),
+                                         jnp.float32, -0.3, 0.3))
+    coarse = np.asarray(jax.random.uniform(jax.random.key(2),
+                                           (2, fs, fs, channels), jnp.float32))
+    ours, _ = d.apply(bundle["params_d"], bundle["state_d"],
+                      (jnp.asarray(diff), jnp.asarray(coarse)),
+                      Ctx(None, False))
+
+    net = nn.Sequential(
+        nn.Conv2d(channels, 64, 3, padding=1), nn.PReLU(),
+        nn.Conv2d(64, 64, 3, padding=1), nn.PReLU(),
+        nn.MaxPool2d(2),
+        nn.Conv2d(64, 128, 3, padding=1), nn.PReLU(),
+        nn.Conv2d(128, 256, 3, padding=1), nn.PReLU(),
+        nn.MaxPool2d(2), nn.Dropout(0.5), nn.Flatten(),
+        nn.Linear(256 * 8 * 8, 512), nn.PReLU(), nn.Dropout(0.5),
+        nn.Linear(512, 1),
+    )
+    with torch.no_grad():
+        conv_map = [(0, "00_conv1"), (2, "02_conv2"), (5, "05_conv3"),
+                    (7, "07_conv4")]
+        for t_idx, key in conv_map:
+            net[t_idx].weight.copy_(to_t(pd[key]["w"]).permute(3, 2, 0, 1))
+            net[t_idx].bias.copy_(to_t(pd[key]["b"]))
+            prelu_key = f"{int(key[:2]) + 1:02d}_prelu"
+            net[t_idx + 1].weight.copy_(to_t(pd[prelu_key]["a"]))
+        net[12].weight.copy_(
+            to_t(rows_nhwc_to_chw(pd["12_fc1"]["w"], 8, 8, 256)).T)
+        net[12].bias.copy_(to_t(pd["12_fc1"]["b"]))
+        net[13].weight.copy_(to_t(pd["13_prelu"]["a"]))
+        net[15].weight.copy_(to_t(pd["15_fc_out"]["w"]).T)
+        net[15].bias.copy_(to_t(pd["15_fc_out"]["b"]))
+    net.eval()
+    summed = np.transpose(diff + coarse, (0, 3, 1, 2))  # the CAddTable head
+    with torch.no_grad():
+        theirs = net(to_t(summed)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
