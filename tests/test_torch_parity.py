@@ -614,3 +614,178 @@ def test_c2f_d_forward_matches_torch():
     with torch.no_grad():
         theirs = net(to_t(summed)).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+def _load_sequential_params(tnet, p, fc_hwc=None):
+    """Copy a facegen sequential's params into a torch Sequential built
+    with the SAME layer order (facegen keys are '{idx:02d}_{name}', so
+    torch index == idx). fc_hwc maps a dense layer's index to the
+    (h, w, c) of the NHWC flatten feeding it (rows permuted to CHW)."""
+    fc_hwc = fc_hwc or {}
+    for key, sub in p.items():
+        if not isinstance(sub, dict) or not sub:
+            continue
+        i = int(key[:2])
+        if "w" in sub:
+            w = sub["w"]
+            if np.ndim(w) == 4:
+                tnet[i].weight.copy_(to_t(w).permute(3, 2, 0, 1))
+            else:
+                ww = (rows_nhwc_to_chw(w, *fc_hwc[i]) if i in fc_hwc
+                      else np.asarray(w, np.float32))
+                tnet[i].weight.copy_(to_t(ww).T)
+            tnet[i].bias.copy_(to_t(sub["b"]))
+        elif "a" in sub:
+            tnet[i].weight.copy_(to_t(sub["a"]))
+
+
+def _run_three_branch_variant(factory, make_branches, scale, channels):
+    """Shared harness for the 3-branch D variants: build ours + a torch
+    mirror, load weights, compare eval-mode logits."""
+    import torch.nn as nn
+
+    d = factory(scale, channels)
+    params, state, _ = d.init(jax.random.key(0), (scale, scale, channels))
+    x = np.asarray(jax.random.uniform(jax.random.key(1),
+                                      (4, scale, scale, channels), jnp.float32))
+    ours, _ = d.apply(params, state, jnp.asarray(x), Ctx(None, False))
+
+    branch_nets, branch_fc_hwc = make_branches()
+    pb = params["00_branches"]
+    branch_keys = sorted(pb.keys())
+    assert len(branch_keys) == len(branch_nets)
+    with torch.no_grad():
+        for bk, (bnet, hwc) in zip(branch_keys,
+                                   zip(branch_nets, branch_fc_hwc)):
+            _load_sequential_params(bnet, pb[bk], fc_hwc=hwc)
+
+    head = nn.Sequential(
+        nn.Identity(),  # placeholder so torch idx == facegen idx
+        nn.Linear(sum(b[-2].out_features if isinstance(b[-2], nn.Linear)
+                      else b[-3].out_features for b in branch_nets), 1024),
+        nn.PReLU(), nn.Dropout(0.5), nn.Linear(1024, 1),
+    )
+    # head fc_join input size: concat of branch outputs — recompute from
+    # the facegen weight shape to avoid fragile introspection above
+    join_in = params["01_fc_join"]["w"].shape[0]
+    head[1] = nn.Linear(join_in, 1024)
+    with torch.no_grad():
+        _load_sequential_params(head, {k: v for k, v in params.items()
+                                       if k != "00_branches"})
+    for b in branch_nets:
+        b.eval()
+    head.eval()
+    xt = to_t(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        outs = [b(xt) for b in branch_nets]
+        theirs = head(torch.cat(outs, dim=1)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_d16_variant_matches_torch():
+    """Unused variant D16 (models.lua:110-159)."""
+    import torch.nn as nn
+
+    C = 1
+
+    def make():
+        fine = nn.Sequential(
+            nn.Conv2d(C, 64, 3, padding=1), nn.PReLU(),
+            nn.Conv2d(64, 64, 3, padding=1), nn.PReLU(),
+            nn.MaxPool2d(2), nn.Dropout2d(0.5), nn.Flatten(),
+            nn.Linear(64 * 8 * 8, 1024), nn.PReLU(), nn.Dropout(0.5))
+        coarse = nn.Sequential(
+            nn.Conv2d(C, 32, 5, padding=2), nn.PReLU(),
+            nn.Conv2d(32, 64, 5, padding=2), nn.PReLU(),
+            nn.MaxPool2d(2), nn.Dropout2d(0.5), nn.Flatten(),
+            nn.Linear(64 * 8 * 8, 1024), nn.PReLU(), nn.Dropout(0.5))
+        dense = nn.Sequential(
+            nn.Flatten(), nn.Linear(16 * 16 * C, 1024), nn.PReLU(),
+            nn.Dropout(0.5), nn.Linear(1024, 1024), nn.PReLU())
+        return ([fine, coarse, dense],
+                [{7: (8, 8, 64)}, {7: (8, 8, 64)}, {1: (16, 16, C)}])
+
+    _run_three_branch_variant(gan.create_d16, make, 16, C)
+
+
+def test_d16_b_variant_matches_torch():
+    """Unused variant D16_b (models.lua:161-216, strided convs)."""
+    import torch.nn as nn
+
+    C = 1
+
+    def make():
+        def conv_branch(k):
+            p = (k - 1) // 2
+            return nn.Sequential(
+                nn.Conv2d(C, 64, k, padding=p), nn.PReLU(),
+                nn.Conv2d(64, 64, k, padding=p), nn.PReLU(),
+                nn.Conv2d(64, 128, k, padding=p), nn.PReLU(),
+                nn.Conv2d(128, 128, k, stride=2, padding=p), nn.PReLU(),
+                nn.Dropout2d(0.5), nn.Flatten(),
+                nn.Linear(128 * 8 * 8, 512), nn.PReLU(), nn.Dropout(0.5))
+        dense = nn.Sequential(
+            nn.Flatten(), nn.Linear(16 * 16 * C, 1024), nn.PReLU(),
+            nn.Dropout(0.5), nn.Linear(1024, 1024), nn.PReLU())
+        return ([conv_branch(3), conv_branch(5), dense],
+                [{10: (8, 8, 128)}, {10: (8, 8, 128)}, {1: (16, 16, C)}])
+
+    _run_three_branch_variant(gan.create_d16_b, make, 16, C)
+
+
+def test_d16_c_variant_matches_torch():
+    """Unused variant D16_c (models.lua:218-277, deeper strided)."""
+    import torch.nn as nn
+
+    C = 1
+
+    def make():
+        def conv_branch(k):
+            p = (k - 1) // 2
+            return nn.Sequential(
+                nn.Conv2d(C, 64, k, padding=p), nn.PReLU(),
+                nn.Conv2d(64, 64, k, padding=p), nn.PReLU(),
+                nn.Conv2d(64, 128, k, padding=p), nn.PReLU(),
+                nn.Conv2d(128, 128, k, stride=2, padding=p), nn.PReLU(),
+                nn.Conv2d(128, 512, k, stride=2, padding=p), nn.PReLU(),
+                nn.Dropout2d(0.5), nn.Flatten(),
+                nn.Linear(512 * 4 * 4, 1024), nn.PReLU())
+        dense = nn.Sequential(
+            nn.Flatten(), nn.Linear(16 * 16 * C, 1024), nn.PReLU(),
+            nn.Dropout(0.5), nn.Linear(1024, 1024), nn.PReLU())
+        return ([conv_branch(3), conv_branch(5), dense],
+                [{12: (4, 4, 512)}, {12: (4, 4, 512)}, {1: (16, 16, C)}])
+
+    _run_three_branch_variant(gan.create_d16_c, make, 16, C)
+
+
+def test_g_flat_variant_matches_torch():
+    """The dead first create_G (models.lua:12-21): Linear->2048 PReLU->
+    Linear->sigmoid->View. Color, so the output reshape needs the
+    NHWC->CHW column permutation."""
+    import torch.nn as nn
+
+    C, scale, nd = 3, 16, 64
+    g = gan.create_g_flat(scale, C, nd)
+    params, state, _ = g.init(jax.random.key(0), (nd,))
+    z = np.asarray(jax.random.uniform(jax.random.key(1), (4, nd),
+                                      jnp.float32, -1, 1))
+    ours, _ = g.apply(params, state, jnp.asarray(z), Ctx(None, False))
+
+    net = nn.Sequential(
+        nn.Linear(nd, 2048), nn.PReLU(),
+        nn.Linear(2048, scale * scale * C), nn.Sigmoid(),
+        nn.Unflatten(1, (C, scale, scale)),
+    )
+    with torch.no_grad():
+        net[0].weight.copy_(to_t(params["00_fc1"]["w"]).T)
+        net[0].bias.copy_(to_t(params["00_fc1"]["b"]))
+        net[1].weight.copy_(to_t(params["01_prelu"]["a"]))
+        net[2].weight.copy_(
+            to_t(cols_nhwc_to_chw(params["02_fc2"]["w"], scale, scale, C)).T)
+        net[2].bias.copy_(
+            to_t(vec_nhwc_to_chw(params["02_fc2"]["b"], scale, scale, C)))
+    net.eval()
+    with torch.no_grad():
+        theirs = np.transpose(net(to_t(z)).numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
