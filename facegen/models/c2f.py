@@ -125,10 +125,11 @@ def create_d(fine_size: int, channels: int) -> Module:
 
 
 def create_g_a(fine_size: int, channels: int) -> Module:
-    """Unused variant create_G_a (models_c2f.lua:16-45): 3 convs."""
+    """Unused variant create_G_a (models_c2f.lua:16-45): (C+1)->64 3x3,
+    64->128 7x7, 128->C 5x5 (no activation after the last conv)."""
     body = sequential(
-        L.subpixel_conv(128, 7, 1, name="conv1"), L.prelu(),
-        L.subpixel_conv(64, 7, 1, name="conv2"), L.prelu(),
+        L.subpixel_conv(64, 3, 1, name="conv1"), L.prelu(),
+        L.subpixel_conv(128, 7, 1, name="conv2"), L.prelu(),
         L.subpixel_conv(channels, 5, 1, name="conv3"),
         name="inner",
     )
@@ -136,10 +137,12 @@ def create_g_a(fine_size: int, channels: int) -> Module:
 
 
 def create_d_a(fine_size: int, channels: int) -> Module:
-    """Unused variant create_D_a (models_c2f.lua:156-192)."""
+    """Unused variant create_D_a (models_c2f.lua:155-192): two 3x3 convs
+    to 64, ONE max-pool, then the fc head."""
     body = sequential(
-        L.conv2d(64, 5, name="conv1"), L.prelu(), L.max_pool(2),
-        L.conv2d(128, 5, name="conv2"), L.prelu(), L.max_pool(2),
+        L.conv2d(64, 3, name="conv1"), L.prelu(),
+        L.conv2d(64, 3, name="conv2"), L.prelu(),
+        L.max_pool(2),
         L.dropout(0.5), L.flatten(),
         L.dense(512, name="fc1"), L.prelu(), L.dropout(0.5),
         L.dense(1, name="fc_out"),
@@ -149,10 +152,11 @@ def create_d_a(fine_size: int, channels: int) -> Module:
 
 
 def create_g_b(fine_size: int, channels: int) -> Module:
-    """Unused variant create_G_b (models_c2f.lua:47-78): 4 convs."""
+    """Unused variant create_G_b (models_c2f.lua:47-78): (C+1)->64 3x3,
+    64->64 3x3, 64->256 5x5, 256->C 7x7."""
     body = sequential(
         L.subpixel_conv(64, 3, 1, name="conv1"), L.prelu(),
-        L.subpixel_conv(128, 5, 1, name="conv2"), L.prelu(),
+        L.subpixel_conv(64, 3, 1, name="conv2"), L.prelu(),
         L.subpixel_conv(256, 5, 1, name="conv3"), L.prelu(),
         L.subpixel_conv(channels, 7, 1, name="conv4"),
         name="inner",
@@ -161,23 +165,27 @@ def create_g_b(fine_size: int, channels: int) -> Module:
 
 
 def create_g_c(fine_size: int, channels: int) -> Module:
-    """Unused variant create_G_c (models_c2f.lua:80-111): wide 3-conv."""
+    """Unused variant create_G_c (models_c2f.lua:80-111): (C+1)->64 3x3,
+    64->128 3x3, 128->256 5x5, 256->C 7x7."""
     body = sequential(
-        L.subpixel_conv(128, 5, 1, name="conv1"), L.prelu(),
-        L.subpixel_conv(256, 5, 1, name="conv2"), L.prelu(),
-        L.subpixel_conv(channels, 5, 1, name="conv3"),
+        L.subpixel_conv(64, 3, 1, name="conv1"), L.prelu(),
+        L.subpixel_conv(128, 3, 1, name="conv2"), L.prelu(),
+        L.subpixel_conv(256, 5, 1, name="conv3"), L.prelu(),
+        L.subpixel_conv(channels, 7, 1, name="conv4"),
         name="inner",
     )
     return _with_head(concat_channels(), body, "G_c2f_c")
 
 
 def create_d_b(fine_size: int, channels: int) -> Module:
-    """Unused variant create_D_b (models_c2f.lua:194-235)."""
+    """Unused variant create_D_b (models_c2f.lua:194-235): 64/64 convs,
+    pool, 128/128 convs, pool, fc head — all 3x3."""
     body = sequential(
         L.conv2d(64, 3, name="conv1"), L.prelu(),
         L.conv2d(64, 3, name="conv2"), L.prelu(),
         L.max_pool(2),
         L.conv2d(128, 3, name="conv3"), L.prelu(),
+        L.conv2d(128, 3, name="conv4"), L.prelu(),
         L.max_pool(2),
         L.dropout(0.5), L.flatten(),
         L.dense(512, name="fc1"), L.prelu(), L.dropout(0.5),

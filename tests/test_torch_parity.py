@@ -789,3 +789,134 @@ def test_g_flat_variant_matches_torch():
     with torch.no_grad():
         theirs = np.transpose(net(to_t(z)).numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
+
+
+def _torch_conv_stack(specs):
+    """nn.Sequential mirroring a facegen conv/prelu/pool/fc stack; specs
+    entries: ("conv", cin, cout, k[, stride]) / ("prelu",) / ("pool",) /
+    ("drop",) / ("sdrop",) / ("flat",) / ("fc", fin, fout) / ("id",)."""
+    import torch.nn as nn
+
+    layers = []
+    for s in specs:
+        kind = s[0]
+        if kind == "conv":
+            _, cin, cout, k = s[:4]
+            stride = s[4] if len(s) > 4 else 1
+            layers.append(nn.Conv2d(cin, cout, k, stride=stride,
+                                    padding=(k - 1) // 2))
+        elif kind == "prelu":
+            layers.append(nn.PReLU())
+        elif kind == "pool":
+            layers.append(nn.MaxPool2d(2))
+        elif kind == "drop":
+            layers.append(nn.Dropout(0.5))
+        elif kind == "sdrop":
+            layers.append(nn.Dropout2d(0.5))
+        elif kind == "flat":
+            layers.append(nn.Flatten())
+        elif kind == "fc":
+            layers.append(nn.Linear(s[1], s[2]))
+        else:
+            raise ValueError(kind)
+    return nn.Sequential(*layers)
+
+
+def _unwrap_inner(p):
+    """subpixel_conv(factor=1) stores its conv params under 'inner'."""
+    return {k: (v["inner"] if isinstance(v, dict) and "inner" in v else v)
+            for k, v in p.items()}
+
+
+C2F_G_VARIANTS = {
+    # name -> (factory attr, torch conv specs given (C+1) input channels)
+    "g_a": ("create_g_a", lambda c: [
+        ("conv", c + 1, 64, 3), ("prelu",),
+        ("conv", 64, 128, 7), ("prelu",),
+        ("conv", 128, c, 5)]),
+    "g_b": ("create_g_b", lambda c: [
+        ("conv", c + 1, 64, 3), ("prelu",),
+        ("conv", 64, 64, 3), ("prelu",),
+        ("conv", 64, 256, 5), ("prelu",),
+        ("conv", 256, c, 7)]),
+    "g_c": ("create_g_c", lambda c: [
+        ("conv", c + 1, 64, 3), ("prelu",),
+        ("conv", 64, 128, 3), ("prelu",),
+        ("conv", 128, 256, 5), ("prelu",),
+        ("conv", 256, c, 7)]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(C2F_G_VARIANTS))
+def test_c2f_g_variant_matches_torch(name):
+    """Unused c2f G variants (models_c2f.lua:16-111) vs torch builds —
+    channel-concat head, conv stacks exactly as the reference defines."""
+    from facegen.models import c2f as c2f_models
+
+    attr, spec_fn = C2F_G_VARIANTS[name]
+    channels, fs = 1, 16
+    g = getattr(c2f_models, attr)(fs, channels)
+    params, state, _ = g.init(jax.random.key(0), ((fs, fs, 1),
+                                                  (fs, fs, channels)))
+    net = _torch_conv_stack(spec_fn(channels))
+    with torch.no_grad():
+        _load_sequential_params(net, _unwrap_inner(params["body"]))
+    net.eval()
+    z = np.asarray(jax.random.uniform(jax.random.key(1), (2, fs, fs, 1),
+                                      jnp.float32, -1, 1))
+    cond = np.asarray(jax.random.uniform(jax.random.key(2),
+                                         (2, fs, fs, channels), jnp.float32))
+    ours, _ = g.apply(params, state, (jnp.asarray(z), jnp.asarray(cond)),
+                      Ctx(None, False))
+    joint = np.concatenate([z, cond], axis=-1)
+    with torch.no_grad():
+        theirs = np.transpose(
+            net(to_t(np.transpose(joint, (0, 3, 1, 2)))).numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=5e-4, atol=5e-4)
+
+
+C2F_D_VARIANTS = {
+    "d_a": ("create_d_a", lambda c: [
+        ("conv", c, 64, 3), ("prelu",),
+        ("conv", 64, 64, 3), ("prelu",),
+        ("pool",), ("drop",), ("flat",),
+        ("fc", 64 * 8 * 8, 512), ("prelu",), ("drop",),
+        ("fc", 512, 1)], {7: (8, 8, 64)}),
+    "d_b": ("create_d_b", lambda c: [
+        ("conv", c, 64, 3), ("prelu",),
+        ("conv", 64, 64, 3), ("prelu",),
+        ("pool",),
+        ("conv", 64, 128, 3), ("prelu",),
+        ("conv", 128, 128, 3), ("prelu",),
+        ("pool",), ("drop",), ("flat",),
+        ("fc", 128 * 4 * 4, 512), ("prelu",), ("drop",),
+        ("fc", 512, 1)], {12: (4, 4, 128)}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(C2F_D_VARIANTS))
+def test_c2f_d_variant_matches_torch(name):
+    """Unused c2f D variants (models_c2f.lua:155-235) vs torch builds —
+    CAddTable head, conv stacks exactly as the reference defines."""
+    from facegen.models import c2f as c2f_models
+
+    attr, spec_fn, fc_hwc = C2F_D_VARIANTS[name]
+    channels, fs = 1, 16
+    d = getattr(c2f_models, attr)(fs, channels)
+    params, state, _ = d.init(jax.random.key(0), ((fs, fs, channels),
+                                                  (fs, fs, channels)))
+    net = _torch_conv_stack(spec_fn(channels))
+    with torch.no_grad():
+        _load_sequential_params(net, _unwrap_inner(params["body"]),
+                                fc_hwc=fc_hwc)
+    net.eval()
+    diff = np.asarray(jax.random.uniform(jax.random.key(1),
+                                         (2, fs, fs, channels),
+                                         jnp.float32, -0.3, 0.3))
+    coarse = np.asarray(jax.random.uniform(jax.random.key(2),
+                                           (2, fs, fs, channels), jnp.float32))
+    ours, _ = d.apply(params, state, (jnp.asarray(diff), jnp.asarray(coarse)),
+                      Ctx(None, False))
+    with torch.no_grad():
+        theirs = net(to_t(np.transpose(diff + coarse, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
