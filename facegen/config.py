@@ -53,6 +53,14 @@ class TrainConfig:
     grayscale: bool = False       # --grayscale
     denoise: bool = False         # --denoise
     aws: bool = False             # --aws (dataset dir switch, train.lua:166)
+    # AE/denoiser-only flags (train_autoencoder.lua:23-24,
+    # train_denoiser.lua:28-30): L1/L2 penalty on the flat AE weight
+    # vector, and the denoiser's total-gradient clamp (ON by default
+    # there — AE_clamp default 1, train_denoiser.lua:30; the plain AE
+    # trainer has no clamp). Ignored by the GAN trainer.
+    coef_l1: float = 0.0          # --coefL1
+    coef_l2: float = 0.0          # --coefL2
+    ae_clamp: float = 1.0         # --AE_clamp (0 = off)
 
     # --- TPU-native additions ---------------------------------------------
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all local devices, axis "data"
@@ -195,6 +203,10 @@ class SampleConfig:
 
     save: str = "logs"            # --save (checkpoint dir)
     network: str = "adversarial"  # checkpoint name (reference: adversarial.net)
+    # --D_base: rank with a D from a DIFFERENT checkpoint than G's
+    # (sample.lua:13, :255-257 loads D separately when D_base ~= G_base).
+    # None = G's own checkpoint. Shape compatibility is checked at load.
+    d_network: Optional[str] = None
     batch_size: int = 32
     noise_dim: Optional[int] = None
     scale: Optional[int] = None
@@ -211,6 +223,8 @@ class SampleConfig:
     # laplacian-pyramid path, sample.lua:102-110 + c2f() :176-214)
     c2f: bool = False
     c2f_network: str = "adversarial_c2f_16_to_32"  # --G_c2f32 default
+    # --D_c2f32: c2f D from a different checkpoint (sample.lua:266-269)
+    d_c2f_network: Optional[str] = None
     save_c2f: str = ""            # --save_c2f32 (empty = same as save)
     c2f_tries: int = 10           # triesPerImage (sample.lua:177)
     # TPU addition: 'DP[,MP]' data-parallel serving mesh (parallel/gspmd.py);
@@ -265,6 +279,14 @@ def train_arg_parser() -> argparse.ArgumentParser:
     _add_bool(p, "--grayscale", False, "train on 1-channel images")
     _add_bool(p, "--denoise", False, "apply trained denoiser to samples")
     _add_bool(p, "--aws", False, "AWS dataset path (train.lua:166-170)")
+    # AE/denoiser flags (train_autoencoder.lua:23-24, train_denoiser.lua:28-30)
+    p.add_argument("--coefL1", type=float, default=0.0, dest="coef_l1",
+                   help="AE weight L1 penalty (AE/denoiser trainers only)")
+    p.add_argument("--coefL2", type=float, default=0.0, dest="coef_l2",
+                   help="AE weight L2 penalty (AE/denoiser trainers only)")
+    p.add_argument("--AE_clamp", type=float, default=1.0, dest="ae_clamp",
+                   help="denoiser gradient clamp, 0 = off "
+                        "(train_denoiser.lua:289-291; default ON at 1)")
     # TPU additions
     p.add_argument("--computeDtype", type=str, default="bfloat16",
                    dest="compute_dtype", choices=["bfloat16", "float32"])
@@ -320,6 +342,9 @@ def train_config_from_args(argv=None) -> TrainConfig:
         grayscale=args.grayscale,
         denoise=args.denoise,
         aws=args.aws,
+        coef_l1=args.coef_l1,
+        coef_l2=args.coef_l2,
+        ae_clamp=args.ae_clamp,
         mesh_shape=mesh,
         compute_dtype=args.compute_dtype,
         reference_init=not args.modernInit,

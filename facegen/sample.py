@@ -48,6 +48,22 @@ def load_models(cfg: SampleConfig):
         cfg.network or CKPT_NAME, default_dir=cfg.save, scale=cfg.scale,
         grayscale=cfg.grayscale, noise_dim=cfg.noise_dim, seed=cfg.seed,
     )
+    if cfg.d_network:
+        # --D_base: rank with a D trained elsewhere (sample.lua:255-257
+        # loads a second .net when D_base ~= G_base). scale/grayscale are
+        # passed as checked overrides so an incompatible D checkpoint
+        # errors with both values spelled out; noise_dim is NOT checked —
+        # D never consumes noise, so mixing runs with different noiseDim
+        # is legitimate (as it is in the reference).
+        d_loc = ckpt.split_network_arg(cfg.d_network, cfg.save)
+        g_loc = ckpt.split_network_arg(cfg.network or CKPT_NAME, cfg.save)
+        if d_loc != g_loc:
+            _, d, d_bundle, _, _ = gan.restore_gan(
+                cfg.d_network, default_dir=cfg.save, scale=res["scale"],
+                grayscale=res["grayscale"], seed=cfg.seed,
+            )
+            bundle = dict(bundle, params_d=d_bundle["params_d"],
+                          state_d=d_bundle["state_d"])
     cfg = dataclasses.replace(cfg, scale=res["scale"],
                               grayscale=res["grayscale"],
                               noise_dim=res["noise_dim"])
@@ -90,6 +106,26 @@ def run_sampling(cfg: SampleConfig, dataset=None, verbose: bool = True,
             cfg.c2f_network, default_dir=cfg.save_c2f or cfg.save,
             seed=cfg.seed,
         )
+        if cfg.d_c2f_network:
+            # --D_c2f32: refine with a D from a different c2f checkpoint
+            # (sample.lua:266-269). Geometry must agree with G's.
+            c2f_dir = cfg.save_c2f or cfg.save
+            d_loc = ckpt.split_network_arg(cfg.d_c2f_network, c2f_dir)
+            g_loc = ckpt.split_network_arg(cfg.c2f_network, c2f_dir)
+            if d_loc != g_loc:
+                _, _, d_bundle, _, d_res = c2f_mod.restore_c2f(
+                    cfg.d_c2f_network, default_dir=c2f_dir, seed=cfg.seed,
+                )
+                for k in ("fine_size", "channels"):
+                    if d_res[k] != c2f_res[k]:
+                        raise ValueError(
+                            f"c2f D checkpoint {cfg.d_c2f_network!r} has "
+                            f"{k}={d_res[k]} but the c2f G checkpoint "
+                            f"{cfg.c2f_network!r} has {k}={c2f_res[k]}"
+                        )
+                c2f_bundle = dict(c2f_bundle,
+                                  params_d=d_bundle["params_d"],
+                                  state_d=d_bundle["state_d"])
         if c2f_res["channels"] != cfg.channels:
             raise ValueError(
                 f"c2f checkpoint {cfg.c2f_network!r} has "
@@ -227,6 +263,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="facegen sampler (reference: th sample.lua)")
     p.add_argument("--save_base", type=str, default="logs", dest="save")
     p.add_argument("--G_base", type=str, default="adversarial", dest="network")
+    p.add_argument("--D_base", type=str, default=None, dest="d_network",
+                   help="rank with a D from a different checkpoint than G's "
+                        "(sample.lua:255-257); default: G's own checkpoint")
     p.add_argument("--neighbours", action="store_true")
     # shape flags default to None = use the checkpoint's stored config
     # (sample.lua:247-274 needs none because torch.load carries the net);
@@ -249,6 +288,9 @@ def main(argv=None):
     p.add_argument("--G_c2f32", type=str, default="adversarial_c2f_16_to_32",
                    dest="c2f_network",
                    help="c2f checkpoint name or dir/name")
+    p.add_argument("--D_c2f32", type=str, default=None, dest="d_c2f_network",
+                   help="refine with a c2f D from a different checkpoint "
+                        "(sample.lua:266-269); default: the --G_c2f32 one")
     p.add_argument("--save_c2f32", type=str, default="", dest="save_c2f",
                    help="c2f checkpoint dir (default: --save_base)")
     p.add_argument("--c2f_tries", type=int, default=10,
@@ -263,7 +305,9 @@ def main(argv=None):
         noise_dim=a.noise_dim, scale=a.scale, grayscale=a.grayscale,
         seed=a.seed, gpu=a.gpu, runs=a.runs, neighbours=a.neighbours,
         writeto=a.writeto, aws=a.aws, dataset_dir=a.dataset_dir,
+        d_network=a.d_network,
         c2f=a.c2f, c2f_network=a.c2f_network,
+        d_c2f_network=a.d_c2f_network,
         save_c2f=a.save_c2f, c2f_tries=a.c2f_tries,
         mesh_shape=tuple(int(x) for x in a.mesh_shape.split(",")) if a.mesh_shape
         else (),

@@ -42,6 +42,26 @@ def _shuffled_batches(key, n_pool, batch):
     return perm.reshape(n_batches, batch)
 
 
+def _weight_penalty(loss, grads, params, c1: float, c2: float):
+    """L1/L2 penalty on the flat AE weight vector, biases included
+    (train_autoencoder.lua:196-204; train_denoiser.lua:279-287):
+    f += c1*||w||_1 + c2*||w||^2/2; grad += sign(w)*c1 + w*c2."""
+    leaves = jax.tree.leaves(params)
+    if c1:
+        loss = loss + c1 * sum(jnp.sum(jnp.abs(l)) for l in leaves)
+    if c2:
+        loss = loss + 0.5 * c2 * sum(jnp.sum(jnp.square(l)) for l in leaves)
+    grads = jax.tree.map(lambda g, p: g + jnp.sign(p) * c1 + p * c2,
+                         grads, params)
+    return loss, grads
+
+
+def _clamp_grads(grads, c: float):
+    """Total-gradient clamp to [-c, c] — applied AFTER the penalty adds
+    in, like GRAD_PARAMETERS_AE:clamp (train_denoiser.lua:289-291)."""
+    return jax.tree.map(lambda g: jnp.clip(g, -c, c), grads)
+
+
 # ---------------------------------------------------------------------------
 # flat autoencoder
 # ---------------------------------------------------------------------------
@@ -65,6 +85,11 @@ def make_ae_epoch(model, cfg: TrainConfig, adam_lr: float = 1e-3, mesh=None):
                 return jnp.mean(jnp.abs(y - x)), s  # AbsCriterion
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if cfg.coef_l1 or cfg.coef_l2:
+                # the plain AE has the penalty but NO clamp
+                # (train_autoencoder.lua:196-204 — no AE_clamp flag there)
+                loss, grads = _weight_penalty(loss, grads, params,
+                                              cfg.coef_l1, cfg.coef_l2)
             updates, opt = tx.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
             return (params, new_state, opt), loss
@@ -192,7 +217,7 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
             i, batch_idx = ib
             x = pool[batch_idx].astype(jnp.float32) / 255.0
             k = jax.random.fold_in(rng, 1 + i)
-            k_enc, k_d1, k_d2 = jax.random.split(k, 3)
+            k_enc, k_d1, k_enc2, k_d1b, k_d2 = jax.random.split(k, 5)
 
             # AE1: encoder (white noise) + decoder1, BCE vs clean x
             def loss1(p1):
@@ -201,15 +226,28 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
                                          x, Ctx(k_enc, True))
                 y, s1 = dec1.apply(p1, bundle["AE1_DECODER"]["state"], noisy,
                                    Ctx(k_d1, True))
-                return _bce(y, x), (y, s1)
+                return _bce(y, x), s1
 
-            (l1, (y1, s1)), g1 = jax.value_and_grad(loss1, has_aux=True)(
+            (l1, s1), g1 = jax.value_and_grad(loss1, has_aux=True)(
                 bundle["AE1_DECODER"]["params"]
             )
+            if cfg.coef_l1 or cfg.coef_l2:
+                l1, g1 = _weight_penalty(l1, g1, bundle["AE1_DECODER"]["params"],
+                                         cfg.coef_l1, cfg.coef_l2)
+            if cfg.ae_clamp:
+                g1 = _clamp_grads(g1, cfg.ae_clamp)
             up1, opt1 = tx.update(g1, opt1, bundle["AE1_DECODER"]["params"])
             p1 = optax.apply_updates(bundle["AE1_DECODER"]["params"], up1)
 
-            # AE2: second decoder consumes AE1's output (train_denoiser.lua:298-336)
+            # AE2: second decoder consumes AE1's output — the reference
+            # re-runs AE1's train-mode forward AFTER its Adam step
+            # (optim.adam(fevalAE,...) precedes fevalAE2's AE:forward,
+            # train_denoiser.lua:335-336 + :313-315), with a fresh
+            # WhiteNoise draw; BN running stats advance again too.
+            noisy2, _ = enc.apply(bundle["AE1_ENCODER"]["params"],
+                                  bundle["AE1_ENCODER"]["state"],
+                                  x, Ctx(k_enc2, True))
+            y1, s1 = dec1.apply(p1, s1, noisy2, Ctx(k_d1b, True))
             y1 = jax.lax.stop_gradient(y1)
 
             def loss2(p2):
@@ -220,6 +258,11 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
             (l2, s2), g2 = jax.value_and_grad(loss2, has_aux=True)(
                 bundle["AE2_DECODER"]["params"]
             )
+            if cfg.coef_l1 or cfg.coef_l2:
+                l2, g2 = _weight_penalty(l2, g2, bundle["AE2_DECODER"]["params"],
+                                         cfg.coef_l1, cfg.coef_l2)
+            if cfg.ae_clamp:
+                g2 = _clamp_grads(g2, cfg.ae_clamp)
             up2, opt2 = tx.update(g2, opt2, bundle["AE2_DECODER"]["params"])
             p2 = optax.apply_updates(bundle["AE2_DECODER"]["params"], up2)
 
@@ -262,6 +305,23 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
 
     enc, dec1, dec2, bundle = AE.init_denoiser(jax.random.key(cfg.seed),
                                                cfg.scale, cfg.channels)
+    start_epoch = 0
+    if cfg.network:
+        # --network resume (train_denoiser.lua:67-77: restores the three
+        # sub-modules and EPOCH; optimizer state starts fresh, like the
+        # reference's OPTSTATE = {} after the load). The reference
+        # ignores the flag's VALUE and hardcodes 'denoiser.net' in
+        # --save; here the value is honored as a name or dir/name, and
+        # a bare sentinel like "1" falls back to the standard name.
+        name = cfg.network
+        if not ckpt.exists(*ckpt.split_network_arg(name, cfg.save)):
+            name = AE.denoiser_ckpt_name(cfg.scale, cfg.channels)
+        directory, name = ckpt.split_network_arg(name, cfg.save)
+        bundle, meta = ckpt.load(directory, name, bundle)
+        start_epoch = int(meta.get("epoch", 0))
+        if verbose:
+            print(f"<trainer> reloaded denoiser from "
+                  f"{os.path.join(directory, name)} (epoch {start_epoch})")
     tx = optax.adam(1e-3)
     opt1 = tx.init(bundle["AE1_DECODER"]["params"])
     opt2 = tx.init(bundle["AE2_DECODER"]["params"])
@@ -296,7 +356,7 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
         pool = shard_pool_2d(pool, mesh)
     history = []
     n = epochs if epochs is not None else (cfg.epochs if cfg.epochs > 0 else 1)
-    for e in range(n):
+    for e in range(start_epoch, start_epoch + n):
         t0 = time.perf_counter()
         bundle, opt1, opt2, losses = epoch_fn(
             bundle, opt1, opt2, jax.random.fold_in(jax.random.key(cfg.seed), e), pool
@@ -315,7 +375,7 @@ def train_denoiser(cfg: TrainConfig, source=None, epochs: Optional[int] = None,
         if verbose:
             print(f"<denoiser> epoch {e+1}: AE1 {mean[0]:.5f} AE2 {mean[1]:.5f} "
                   f"val {vloss:.5f} ({dt:.2f}s)")
-        if (e + 1) % 50 == 0 or e + 1 == n:
+        if (e + 1) % 50 == 0 or e + 1 == start_epoch + n:
             ckpt.save(cfg.save, AE.denoiser_ckpt_name(cfg.scale, cfg.channels),
                       bundle, meta={"epoch": e + 1, **ckpt.config_meta(cfg)})
     if not cfg.noplot:

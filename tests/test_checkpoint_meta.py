@@ -17,23 +17,25 @@ from facegen.train.loop import Trainer
 from facegen.utils import checkpoint as ckpt
 
 
-def _save_base_checkpoint(tmp_path, scale=16, grayscale=True, noise_dim=16):
+def _save_base_checkpoint(tmp_path, scale=16, grayscale=True, noise_dim=16,
+                          subdir="logs", seed=1):
     cfg = TrainConfig(
         batch_size=8, scale=scale, grayscale=grayscale, noise_dim=noise_dim,
         n_epoch=8, compute_dtype="float32", reference_init=False,
-        synthetic_data=True, save=str(tmp_path / "logs"), noplot=True,
+        synthetic_data=True, save=str(tmp_path / subdir), noplot=True,
+        seed=seed,
     ).validate()
     tr = Trainer(cfg, verbose=False)
     tr.save()
     return cfg
 
 
-def _save_c2f_checkpoint(save_dir, coarse=4, fine=8, grayscale=True):
+def _save_c2f_checkpoint(save_dir, coarse=4, fine=8, grayscale=True, seed=0):
     cfg = C2FConfig(
         batch_size=8, coarse_size=coarse, fine_size=fine, grayscale=grayscale,
         compute_dtype="float32", synthetic_data=True, save=save_dir,
     ).validate()
-    g, d, bundle = c2f_models.init_c2f(jax.random.key(0), fine, cfg.channels)
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(seed), fine, cfg.channels)
     state = init_c2f_state(cfg, bundle)
     name = f"adversarial_c2f_{coarse}_to_{fine}"
     ckpt.save(save_dir, name, state, meta={"epoch": 1, **ckpt.config_meta(cfg)})
@@ -81,6 +83,45 @@ def test_sampler_zero_shape_flags(tmp_path):
     assert resolved.noise_dim == 16
 
 
+def test_sampler_separate_d_checkpoint(tmp_path):
+    """--D_base loads D from a DIFFERENT checkpoint than G's
+    (sample.lua:255-257: a second torch.load when D_base ~= G_base)."""
+    import jax.tree_util as jtu
+
+    from facegen.sample import load_models
+
+    cfg_g = _save_base_checkpoint(tmp_path, subdir="logs", seed=1)
+    cfg_d = _save_base_checkpoint(tmp_path, subdir="logs2", seed=7)
+    d_path = os.path.join(cfg_d.save, "adversarial")
+    scfg = SampleConfig(save=cfg_g.save, d_network=d_path,
+                        writeto=str(tmp_path / "samples"))
+    g, d, bundle, meta, resolved = load_models(scfg)
+    want_g, _, g_bundle, _, _ = gan.restore_gan("adversarial",
+                                                default_dir=cfg_g.save)
+    _, _, d_bundle, _, _ = gan.restore_gan("adversarial",
+                                           default_dir=cfg_d.save)
+    lg = jtu.tree_leaves(bundle["params_g"])
+    ld = jtu.tree_leaves(bundle["params_d"])
+    np.testing.assert_array_equal(lg[0], jtu.tree_leaves(g_bundle["params_g"])[0])
+    np.testing.assert_array_equal(ld[0], jtu.tree_leaves(d_bundle["params_d"])[0])
+    # the two runs' Ds genuinely differ, so the splice is observable
+    assert not np.array_equal(ld[0], jtu.tree_leaves(g_bundle["params_d"])[0])
+
+
+def test_sampler_separate_d_mismatch_errors(tmp_path):
+    """An incompatible --D_base checkpoint errors with both values
+    spelled out, not an opaque shape complaint."""
+    from facegen.sample import load_models
+
+    cfg_g = _save_base_checkpoint(tmp_path, subdir="logs", grayscale=True)
+    cfg_d = _save_base_checkpoint(tmp_path, subdir="logs2", grayscale=False)
+    scfg = SampleConfig(save=cfg_g.save,
+                        d_network=os.path.join(cfg_d.save, "adversarial"),
+                        writeto=str(tmp_path / "samples"))
+    with pytest.raises(ValueError, match="grayscale"):
+        load_models(scfg)
+
+
 def test_restore_c2f_zero_flags(tmp_path):
     save_dir = str(tmp_path / "logs")
     ccfg, name = _save_c2f_checkpoint(save_dir)
@@ -117,6 +158,33 @@ def test_sampler_c2f_channel_mismatch_errors(tmp_path):
                         c2f=True, c2f_network=c2f_name)
     with pytest.raises(ValueError, match="channels"):
         run_sampling(scfg, verbose=False)
+
+
+def test_sampler_c2f_separate_d(tmp_path):
+    """--D_c2f32 splices the refinement D from a second c2f checkpoint
+    (sample.lua:266-269); geometry mismatch errors clearly."""
+    from facegen.sample import run_sampling
+
+    cfg = _save_base_checkpoint(tmp_path)
+    _, c2f_name = _save_c2f_checkpoint(cfg.save, seed=0)
+    other_dir = str(tmp_path / "logs2")
+    _save_c2f_checkpoint(other_dir, seed=9)
+    scfg = SampleConfig(
+        save=cfg.save, writeto=str(tmp_path / "samples"), runs=1,
+        c2f=True, c2f_network=c2f_name, c2f_tries=2,
+        d_c2f_network=os.path.join(other_dir, c2f_name),
+    )
+    outputs = run_sampling(scfg, verbose=False)
+    assert any(os.path.basename(o) == "best_0001_c2f_8.png" for o in outputs)
+    # geometry mismatch: a fine_size-4 D against the fine_size-8 G
+    _, small_name = _save_c2f_checkpoint(other_dir, coarse=2, fine=4)
+    bad = SampleConfig(
+        save=cfg.save, writeto=str(tmp_path / "samples"), runs=1,
+        c2f=True, c2f_network=c2f_name,
+        d_c2f_network=os.path.join(other_dir, small_name),
+    )
+    with pytest.raises(ValueError, match="fine_size"):
+        run_sampling(bad, verbose=False)
 
 
 def test_export_uses_checkpoint_config(tmp_path):

@@ -357,6 +357,108 @@ def test_denoiser_trains_and_saves_bundle_keys(tmp_path):
     assert ckpt.exists(cfg.save, denoiser_ckpt_name(16, 1))
 
 
+def test_ae_weight_penalty_math():
+    """_weight_penalty matches train_autoencoder.lua:196-204's closed
+    form on the flat param vector (biases included)."""
+    from facegen.train.ae_loop import _weight_penalty
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {"w": jax.random.normal(k1, (5, 3)), "b": jax.random.normal(k2, (3,))}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    c1, c2 = 0.013, 0.07
+    loss, g = _weight_penalty(jnp.float32(0.0), grads, params, c1, c2)
+    flat = np.concatenate([np.asarray(params["b"]).ravel(),
+                           np.asarray(params["w"]).ravel()])
+    want = c1 * np.abs(flat).sum() + 0.5 * c2 * (flat ** 2).sum()
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g["w"]),
+        np.sign(np.asarray(params["w"])) * c1 + np.asarray(params["w"]) * c2,
+        rtol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [dict(coef_l1=0.01), dict(coef_l2=0.01)])
+def test_ae_coef_penalty_changes_training(tmp_path, kw):
+    """--coefL1/--coefL2 are live in the AE trainer and shrink weights
+    relative to the unpenalized run (train_autoencoder.lua:196-204)."""
+    from facegen.train.ae_loop import train_autoencoder
+
+    cfg0 = tiny_cfg(tmp_path, n_epoch=64, batch_size=16, noplot=True)
+    _, p0, _, h0 = train_autoencoder(cfg0, epochs=1, verbose=False)
+    cfg1 = tiny_cfg(tmp_path, n_epoch=64, batch_size=16, noplot=True, **kw)
+    _, p1, _, h1 = train_autoencoder(cfg1, epochs=1, verbose=False)
+    l0 = jax.tree.leaves(p0)
+    l1 = jax.tree.leaves(p1)
+    assert any(not np.allclose(a, b) for a, b in zip(l0, l1))
+    # penalty adds to the reported loss (f += ..., same as the reference)
+    assert h1[0]["loss"] > h0[0]["loss"]
+
+
+def test_denoiser_ae_clamp_is_live_and_is_a_clamp(tmp_path):
+    """AE_clamp defaults ON (train_denoiser.lua:30): a tiny clamp
+    squashes every gradient toward 0 and (with Adam's eps dominating)
+    freezes training, while clamp-off trains — so the clip is live in
+    the compiled epoch; and a huge clamp is numerically a no-op
+    (train_denoiser.lua:289-291). The op itself is pinned as a pure
+    elementwise clip at the unit level — end-to-end equality of
+    clamp-off vs huge-clamp is NOT a stable contract: the clip changes
+    XLA's fusion choices and Adam amplifies the ~2e-6 float drift
+    through the epoch."""
+    from facegen.train.ae_loop import train_denoiser
+
+    base = dict(n_epoch=64, batch_size=16, scale=16, noplot=True)
+    assert tiny_cfg(tmp_path, **base).ae_clamp == 1.0  # reference default
+    cfg_tiny = tiny_cfg(tmp_path, ae_clamp=1e-30, **base)
+    _, b_tiny, _ = train_denoiser(cfg_tiny, epochs=1, verbose=False)
+    cfg_off = tiny_cfg(tmp_path, ae_clamp=0.0, **base)
+    _, b_off, _ = train_denoiser(cfg_off, epochs=1, verbose=False)
+    from facegen.models.ae import init_denoiser
+
+    _, _, _, b0 = init_denoiser(jax.random.key(cfg_off.seed), 16, 1)
+    move = lambda b: max(
+        float(jnp.max(jnp.abs(a - c)))
+        for a, c in zip(jax.tree.leaves(b["AE1_DECODER"]["params"]),
+                        jax.tree.leaves(b0["AE1_DECODER"]["params"])))
+    assert move(b_tiny) < 1e-5          # clamped to ~0-grad: frozen
+    assert move(b_off) > 1e-3           # unclamped: trains
+    from facegen.train.ae_loop import _clamp_grads
+
+    g = {"w": jnp.array([-3.0, -0.5, 0.0, 0.7, 2.5])}
+    np.testing.assert_array_equal(
+        np.asarray(_clamp_grads(g, 1.0)["w"]),
+        np.array([-1.0, -0.5, 0.0, 0.7, 1.0], np.float32))
+
+
+def test_denoiser_network_resume(tmp_path):
+    """--network resumes the denoiser: restores the three sub-bundles
+    and continues the epoch count (train_denoiser.lua:67-77); the
+    optimizer state starts fresh like the reference's OPTSTATE = {}."""
+    from facegen.models.ae import denoiser_ckpt_name, init_denoiser
+    from facegen.train.ae_loop import train_denoiser
+
+    cfg = tiny_cfg(tmp_path, n_epoch=64, batch_size=16, scale=16, noplot=True)
+    _, b1, _ = train_denoiser(cfg, epochs=1, verbose=False)
+    # value honored as a name; a stale sentinel falls back to the
+    # standard checkpoint (the reference ignores the value entirely).
+    # Each resumed epoch re-checkpoints, so the expected epoch advances.
+    for i, net in enumerate((denoiser_ckpt_name(16, 1), "resume-please")):
+        cfg2 = tiny_cfg(tmp_path, n_epoch=64, batch_size=16, scale=16,
+                        noplot=True, network=net)
+        _, b2, hist = train_denoiser(cfg2, epochs=1, verbose=False)
+        assert hist[0]["epoch"] == 2 + i  # continued, not restarted
+    # resumed run really started from the saved params, not fresh init
+    _, _, _, b0 = init_denoiser(jax.random.key(cfg.seed), 16, 1)
+    diff_saved = sum(
+        float(jnp.sum(jnp.abs(a - b))) for a, b in
+        zip(jax.tree.leaves(b2["AE1_DECODER"]["params"]),
+            jax.tree.leaves(b1["AE1_DECODER"]["params"])))
+    diff_fresh = sum(
+        float(jnp.sum(jnp.abs(a - b))) for a, b in
+        zip(jax.tree.leaves(b2["AE1_DECODER"]["params"]),
+            jax.tree.leaves(b0["AE1_DECODER"]["params"])))
+    assert diff_saved < diff_fresh
+
+
 def test_denoise_hook_loads_ae1_decoder(tmp_path):
     from facegen.models.ae import load_denoiser_fn
     from facegen.train.ae_loop import train_denoiser
