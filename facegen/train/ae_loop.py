@@ -232,8 +232,12 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
                 bundle["AE1_DECODER"]["params"]
             )
             if cfg.coef_l1 or cfg.coef_l2:
-                l1, g1 = _weight_penalty(l1, g1, bundle["AE1_DECODER"]["params"],
-                                         cfg.coef_l1, cfg.coef_l2)
+                # the penalty feeds only the GRADIENT; the reported
+                # per-epoch loss stays the bare BCE — the reference
+                # accumulates CRITERION.output before the penalty is
+                # added (train_denoiser.lua:272,311)
+                _, g1 = _weight_penalty(l1, g1, bundle["AE1_DECODER"]["params"],
+                                        cfg.coef_l1, cfg.coef_l2)
             if cfg.ae_clamp:
                 g1 = _clamp_grads(g1, cfg.ae_clamp)
             up1, opt1 = tx.update(g1, opt1, bundle["AE1_DECODER"]["params"])
@@ -259,8 +263,8 @@ def make_denoiser_epoch(enc, dec1, dec2, cfg: TrainConfig, mesh=None):
                 bundle["AE2_DECODER"]["params"]
             )
             if cfg.coef_l1 or cfg.coef_l2:
-                l2, g2 = _weight_penalty(l2, g2, bundle["AE2_DECODER"]["params"],
-                                         cfg.coef_l1, cfg.coef_l2)
+                _, g2 = _weight_penalty(l2, g2, bundle["AE2_DECODER"]["params"],
+                                        cfg.coef_l1, cfg.coef_l2)
             if cfg.ae_clamp:
                 g2 = _clamp_grads(g2, cfg.ae_clamp)
             up2, opt2 = tx.update(g2, opt2, bundle["AE2_DECODER"]["params"])

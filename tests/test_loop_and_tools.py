@@ -394,6 +394,27 @@ def test_ae_coef_penalty_changes_training(tmp_path, kw):
     assert h1[0]["loss"] > h0[0]["loss"]
 
 
+def test_denoiser_reported_loss_excludes_penalty(tmp_path):
+    """The denoiser's per-epoch AE1/AE2 losses are the bare BCE: the
+    reference accumulates CRITERION.output BEFORE the penalty is added
+    (train_denoiser.lua:272,311), so a weight penalty must steer the
+    gradients (different params) without inflating the reported loss
+    the way train_autoencoder's `f += ...` does."""
+    from facegen.train.ae_loop import train_denoiser
+
+    base = dict(n_epoch=64, batch_size=16, scale=16, noplot=True)
+    cfg0 = tiny_cfg(tmp_path, **base)
+    _, b0, h0 = train_denoiser(cfg0, epochs=1, verbose=False)
+    cfg1 = tiny_cfg(tmp_path, coef_l2=0.05, **base)
+    _, b1, h1 = train_denoiser(cfg1, epochs=1, verbose=False)
+    l0 = jax.tree.leaves(b0["AE1_DECODER"]["params"])
+    l1 = jax.tree.leaves(b1["AE1_DECODER"]["params"])
+    assert any(not np.allclose(a, b) for a, b in zip(l0, l1))
+    # with the penalty in the report, loss_ae1 would jump by
+    # ~coef*||params||^2/2 >> the BCE drift between the two runs
+    assert abs(h1[0]["loss_ae1"] - h0[0]["loss_ae1"]) < 0.05
+
+
 def test_denoiser_ae_clamp_is_live_and_is_a_clamp(tmp_path):
     """AE_clamp defaults ON (train_denoiser.lua:30): a tiny clamp
     squashes every gradient toward 0 and (with Adam's eps dominating)
