@@ -172,7 +172,7 @@ def _model_flops_per_epoch(g, d, bundle, cfg) -> float:
     return step_flops * steps_per_epoch(cfg)
 
 
-def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 3,
+def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 25,
                       multi_epoch: bool = True, profile_dir: str | None = None):
     """(images/sec, mfu) of the jitted whole-epoch facegen train loop.
 
@@ -183,6 +183,14 @@ def bench_facegen_tpu(n_epoch: int = 1000, batch: int = 32, timed_epochs: int = 
     remote-tunnel round-trip jitter BASELINE.md attributed to per-epoch
     dispatch. ``multi_epoch=False`` reproduces the round-2 per-epoch
     measurement loop.
+
+    ``timed_epochs=25`` sizes the program like the product default
+    (--epochsPerCompile auto-engages under --noplot; make demo-refgrid
+    trains at 50): dispatch/sync cost is ~11 ms per program on the
+    tunnel-attached chip, which at 3 epochs/program was still ~4 ms/
+    epoch of non-device wall (round-3 numbers); at 25+ the per-epoch
+    wall converges to the 81-82 ms module time (measured 3/10/25/50 ->
+    10.7k/11.9k/12.2k/12.3k img/s, docs/KERNELS.md round 4).
 
     MFU = analytic model FLOPs per epoch (`_model_flops_per_epoch`) /
     measured epoch wall-clock / chip peak bf16 FLOP/s — "fast for the

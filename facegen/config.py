@@ -82,6 +82,15 @@ class TrainConfig:
                                           # viz cadence is preserved)
     trace_dir: Optional[str] = None       # jax.profiler trace of epoch 1
     debug_nans: bool = False              # jax_debug_nans mode
+    boundary_pad: int = 0                 # widen the G->D image interface to
+                                          # this many channels inside the
+                                          # train step (exact zero-weight
+                                          # reparameterization of the C=3/C=1
+                                          # boundary convs). Measured EQUAL-
+                                          # OR-SLOWER at every width on v5e —
+                                          # default off; kept as the
+                                          # documented experiment (docs/
+                                          # KERNELS.md round 4)
 
     # ------------------------------------------------------------------
     @property
@@ -175,6 +184,10 @@ class C2FConfig:
     val_size: int = 500    # VAL_DATA = loadImages(0, 500) (train_c2f.lua:218)
     parzen_samples: int = 200
     mesh_shape: Tuple[int, ...] = (-1,)  # 'DP[,MP]' GSPMD mesh (parallel/gspmd.py)
+    boundary_pad: int = 0  # widen the diff/coarse image interface inside the
+                           # train step (exact zero-weight reparameterization
+                           # of G_d's 7x7 256->C output conv + D_c's first
+                           # conv; docs/KERNELS.md round 4). 0 = off
 
     @property
     def channels(self) -> int:
@@ -300,6 +313,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
                    dest="epochs_per_compile",
                    help="compile N epochs into one device program (amortizes "
                         "host sync; 0 = auto: 8 under --noplot, else 1)")
+    p.add_argument("--boundaryPad", type=int, default=0, dest="boundary_pad",
+                   help="widen the G->D image interface to this many "
+                        "channels inside the train step (exact zero-weight "
+                        "reparameterization; measured no-win on v5e, see "
+                        "docs/KERNELS.md round 4; 0 = off)")
     _add_bool(p, "--modernInit", False, "disable reference gaussian-overwrite init")
     _add_bool(p, "--syntheticData", False, "use procedural data (no LFW needed)")
     p.add_argument("--datasetDir", type=str, default=None, dest="dataset_dir")
@@ -352,5 +370,6 @@ def train_config_from_args(argv=None) -> TrainConfig:
         synthetic_data=args.syntheticData,
         epochs=args.epochs,
         epochs_per_compile=args.epochs_per_compile,
+        boundary_pad=args.boundary_pad,
     )
     return cfg.validate()

@@ -35,7 +35,7 @@ from facegen.nn.core import Ctx, Module
 from facegen.train import losses, metrics as M
 # same batch-advance semantics as the base engine (adversarial_c2f.lua
 # steps like adversarial.lua:54); one implementation, imported
-from facegen.train.step import steps_per_epoch  # noqa: F401
+from facegen.train.step import make_boundary_padder, steps_per_epoch  # noqa: F401
 from facegen.utils import checkpoint as ckpt
 
 
@@ -110,6 +110,25 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
             z = jax.lax.with_sharding_constraint(z, noise_sharding)
         return z
 
+    # Boundary widening of the diff/coarse interface (the 7x7 256->C
+    # output conv is the measured c2f bottleneck — 3/128 MXU lanes,
+    # docs/KERNELS.md round 3/4): G_d's last conv gains zero output
+    # lanes (pad diff channels come out exactly 0), real diffs and the
+    # D-side coarse conditions gain zero channels (CAddTable pad sum =
+    # 0), D_c's first conv gains zero input rows. G's own (noise,
+    # coarse) inputs stay unpadded. Exact — see step.py.
+    padder = make_boundary_padder(cfg)
+
+    def _boundary(params_g, params_d):
+        if padder is not None:
+            _, ng = padder[0](params_g)
+            _, nd = padder[1](params_d)
+            if ng == 1 and nd >= 1 and not padder[3](params_d):
+                return (lambda p: padder[0](p)[0],
+                        lambda p: padder[1](p)[0], padder[2])
+        ident = lambda p: p
+        return ident, ident, ident
+
     def d_iteration(state: C2FState, rng, pool: C2FPool):
         k_real, k_fakecond, k_noise, k_gen, k_drop = jax.random.split(rng, 5)
         idx_real = jax.random.randint(k_real, (half,), 0, draw_n or pool.size)
@@ -118,18 +137,19 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
         idx_fake = jax.random.randint(k_fakecond, (half,), 0, draw_n or pool.size)
         _, cond_fake, _ = gather_triple(pool, idx_fake, dtype)
         z = noise(k_noise, half)
-        diff_fake, state_g = g.apply(state.params_g, state.state_g,
+        g_view, d_view, pad_imgs = _boundary(state.params_g, state.params_d)
+        diff_fake, state_g = g.apply(g_view(state.params_g), state.state_g,
                                      (z, cond_fake), Ctx(k_gen, True))
         diff_fake = jax.lax.stop_gradient(diff_fake)
 
-        diffs = jnp.concatenate([diff_real, diff_fake], axis=0)
-        conds = jnp.concatenate([cond_real, cond_fake], axis=0)
+        diffs = jnp.concatenate([pad_imgs(diff_real), diff_fake], axis=0)
+        conds = pad_imgs(jnp.concatenate([cond_real, cond_fake], axis=0))
         targets = jnp.concatenate(
             [jnp.ones((half,), jnp.float32), jnp.zeros((half,), jnp.float32)]
         )
 
         def loss_fn(params_d):
-            logits, sd = d.apply(params_d, state.state_d, (diffs, conds),
+            logits, sd = d.apply(d_view(params_d), state.state_d, (diffs, conds),
                                  Ctx(k_drop, True))
             return losses.bce_with_logits(logits, targets), (logits, sd)
 
@@ -153,11 +173,14 @@ def make_epoch_fn(g: Module, d: Module, cfg: C2FConfig,
         _, conds, _ = gather_triple(pool, idx, dtype)
         z = noise(k_noise, bs)
         targets = jnp.ones((bs,), jnp.float32)
+        g_view, d_view, pad_imgs = _boundary(state.params_g, state.params_d)
+        conds_d = pad_imgs(conds)
 
         def loss_fn(params_g):
-            diff, sg = g.apply(params_g, state.state_g, (z, conds), Ctx(k_gen, True))
-            logits, sd = d.apply(state.params_d, state.state_d, (diff, conds),
-                                 Ctx(k_drop, True))
+            diff, sg = g.apply(g_view(params_g), state.state_g, (z, conds),
+                               Ctx(k_gen, True))
+            logits, sd = d.apply(d_view(state.params_d), state.state_d,
+                                 (diff, conds_d), Ctx(k_drop, True))
             return losses.bce_with_logits(logits, targets), (sg, sd)
 
         (loss, (state_g, state_d)), grads = jax.value_and_grad(

@@ -114,6 +114,93 @@ def _psum_mean(tree, axis_name):
     return jax.tree.map(lambda x: lax.pmean(x, axis_name), tree)
 
 
+def _pad_conv_layers(params, axis: int, channels: int, pad: int):
+    """Zero-pad every conv layer whose 4-D ``w`` has ``channels`` entries
+    on ``axis`` (3 = output channels, 2 = input channels) by ``pad``
+    extra lanes; biases pad alongside output channels. Returns
+    (new_params, n_padded).
+
+    This is the exact-reparameterization half of the boundary-channel
+    widening (docs/KERNELS.md round 4): C=3/C=1 image-boundary convs
+    occupy 3/128 MXU output lanes; padding the WEIGHTS (not the stored
+    parameters) keeps the checkpoint/optimizer/penalty math untouched
+    while the compiled program runs lane-friendly convs. Under jax.grad
+    the pad's adjoint is a slice, so weight gradients are bitwise those
+    of the unpadded layer.
+    """
+    n = 0
+
+    def rec(node):
+        nonlocal n
+        if not isinstance(node, dict):
+            return node
+        w = node.get("w")
+        if (hasattr(w, "ndim") and w.ndim == 4 and w.shape[axis] == channels):
+            n += 1
+            widths = [(0, 0)] * 4
+            widths[axis] = (0, pad)
+            new = {"w": jnp.pad(w, widths)}
+            for k, v in node.items():
+                if k == "w":
+                    continue
+                if k == "b" and axis == 3:
+                    new[k] = jnp.pad(v, [(0, pad)])
+                else:
+                    new[k] = rec(v) if isinstance(v, dict) else v
+            return new
+        return {k: rec(v) for k, v in node.items()}
+
+    return rec(params), n
+
+
+def make_boundary_padder(cfg, channels: Optional[int] = None,
+                         scale: Optional[int] = None):
+    """Build (pad_g, pad_d, pad_imgs, d_flattens_image) or None.
+
+    Accepts any config with a ``boundary_pad`` field (TrainConfig or
+    C2FConfig — the c2f engine pads its diff/coarse interface the same
+    way, train/c2f.py); ``channels``/``scale`` default to the config's.
+
+    The G->D image interface is ``channels`` wide (3 color / 1
+    gray); ``boundary_pad`` widens it to P channels end-to-end inside
+    the compiled step: G's output conv gains P-C zero output lanes
+    (pad channels come out as sigmoid(0)=0.5), real images gain P-C
+    zero channels, and D's first conv gains P-C zero INPUT rows — so
+    every logit, loss, gradient and running statistic is exactly the
+    unpadded computation (zero weights x anything = 0, and the pads'
+    weight gradients are sliced away by AD). Applies only when both
+    models expose a PURE conv boundary: the flat-G variant has no
+    output conv, and the 16px Ds flatten the raw image into a dense
+    branch (models.lua:286-299) — `flatten_in` lets the trace-time gate
+    detect that consumer and fall back to the identity.
+    """
+    channels = cfg.channels if channels is None else channels
+    scale = getattr(cfg, "scale", getattr(cfg, "fine_size", 0)) \
+        if scale is None else scale
+    pad = cfg.boundary_pad - channels
+    if cfg.boundary_pad <= 0 or pad <= 0:
+        return None
+
+    def pad_g(params_g):
+        return _pad_conv_layers(params_g, 3, channels, pad)
+
+    def pad_d(params_d):
+        return _pad_conv_layers(params_d, 2, channels, pad)
+
+    def pad_imgs(x):
+        return jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, pad)])
+
+    flatten_in = scale * scale * channels
+
+    def d_flattens_image(params_d) -> bool:
+        return any(
+            getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == flatten_in
+            for leaf in jax.tree.leaves(params_d)
+        )
+
+    return pad_g, pad_d, pad_imgs, d_flattens_image
+
+
 def make_train_step(
     g: Module,
     d: Module,
@@ -160,16 +247,35 @@ def make_train_step(
             return z
         return lax.with_sharding_constraint(z, noise_sharding)
 
+    padder = make_boundary_padder(cfg)
+
+    def _boundary(params_g, params_d):
+        """Trace-time decision: both nets must expose a conv image
+        boundary (e.g. the flat-G variant has none) or padding is off.
+        Returns (g_view, d_view, pad_imgs) where the views are functions
+        params -> padded-weight params (identity when off) — d_view must
+        run INSIDE the D loss so AD slices the pad's weight grads."""
+        if padder is not None:
+            _, ng = padder[0](params_g)
+            _, nd = padder[1](params_d)
+            if ng == 1 and nd >= 1 and not padder[3](params_d):
+                return (lambda p: padder[0](p)[0],
+                        lambda p: padder[1](p)[0], padder[2])
+        ident = lambda p: p
+        return ident, ident, ident
+
     def d_iteration(state: GanState, rng: jax.Array, pool: jax.Array):
+        g_view, d_view, pad_imgs = _boundary(state.params_g, state.params_d)
         k_idx, k_noise, k_gen, k_drop = jax.random.split(rng, 4)
         idx = jax.random.randint(k_idx, (half,), 0, draw_n or pool.shape[0])
-        real = pool[idx].astype(dtype) / jnp.asarray(255.0, dtype)
+        real = pad_imgs(pool[idx].astype(dtype) / jnp.asarray(255.0, dtype))
         noise = _constrain(
             jax.random.uniform(k_noise, (half, cfg.noise_dim), dtype, -1.0, 1.0)
         )
         # G forward in train mode: BN running stats update, like
         # createImages under net:training() (adversarial.lua:252).
-        fake, state_g = g.apply(state.params_g, state.state_g, noise, Ctx(k_gen, True))
+        fake, state_g = g.apply(g_view(state.params_g), state.state_g, noise,
+                                Ctx(k_gen, True))
         fake = lax.stop_gradient(fake)
         inputs = jnp.concatenate([real, fake], axis=0)
         targets = jnp.concatenate(
@@ -177,7 +283,8 @@ def make_train_step(
         )
 
         def loss_fn(params_d):
-            logits, sd = d.apply(params_d, state.state_d, inputs, Ctx(k_drop, True))
+            logits, sd = d.apply(d_view(params_d), state.state_d, inputs,
+                                 Ctx(k_drop, True))
             return losses.bce_with_logits(logits, targets), (logits, sd)
 
         (loss, (logits, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -229,6 +336,7 @@ def make_train_step(
         return state, loss, acc, do_train
 
     def g_iteration(state: GanState, rng: jax.Array):
+        g_view, d_view, _ = _boundary(state.params_g, state.params_d)
         k_noise, k_gen, k_drop = jax.random.split(rng, 3)
         noise = _constrain(
             jax.random.uniform(k_noise, (local_bs, cfg.noise_dim), dtype, -1.0, 1.0)
@@ -236,8 +344,10 @@ def make_train_step(
         targets = jnp.ones((local_bs,), jnp.float32)  # Y_NOT_GENERATOR
 
         def loss_fn(params_g):
-            imgs, sg = g.apply(params_g, state.state_g, noise, Ctx(k_gen, True))
-            logits, sd = d.apply(state.params_d, state.state_d, imgs, Ctx(k_drop, True))
+            imgs, sg = g.apply(g_view(params_g), state.state_g, noise,
+                               Ctx(k_gen, True))
+            logits, sd = d.apply(d_view(state.params_d), state.state_d, imgs,
+                                 Ctx(k_drop, True))
             return losses.bce_with_logits(logits, targets), (sg, sd)
 
         (loss, (state_g, state_d)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

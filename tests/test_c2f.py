@@ -172,3 +172,41 @@ def test_refine_c2f_picks_max_d_score_candidate():
                 best_score, best_diff = s, diff[0]
         want = np.clip(np.asarray(up[i] + best_diff), 0.0, 1.0)
         np.testing.assert_allclose(out[i], want, atol=1e-5)
+
+
+def test_c2f_boundary_pad_is_exact():
+    """--boundaryPad on the c2f engine (train/c2f.py) is a pure
+    reparameterization of the diff/coarse interface: losses and
+    gradients through the padded chain equal the unpadded chain
+    (G_d's padded output lanes emit exactly 0, CAddTable pad sums are
+    0, D_c's pad input rows have zero weights)."""
+    import dataclasses
+
+    from facegen.train.c2f import make_epoch_fn, init_c2f_state
+    from facegen.train.step import make_boundary_padder
+
+    base = C2FConfig(batch_size=8, n_epoch=16, coarse_size=8, fine_size=16,
+                     compute_dtype="float32", seed=3)
+    g, d, bundle = c2f_models.init_c2f(jax.random.key(3), base.fine_size,
+                                       base.channels)
+    padder = make_boundary_padder(dataclasses.replace(base, boundary_pad=8))
+    assert padder[0](bundle["params_g"])[1] == 1
+    assert padder[1](bundle["params_d"])[1] >= 1
+    assert not padder[3](bundle["params_d"])
+
+    fine = jax.random.randint(jax.random.key(5), (64, 16, 16, 3), 0, 256,
+                              jnp.uint8)
+    pool = make_triples(fine, base.coarse_size)
+    runs = {}
+    for bp in (0, 8):
+        cfg = dataclasses.replace(base, boundary_pad=bp)
+        state = init_c2f_state(cfg, bundle)
+        epoch = jax.jit(make_epoch_fn(g, d, cfg))
+        new_state, ms = epoch(state, jax.random.key(11), pool)
+        runs[bp] = (new_state, ms)
+    s0, m0 = runs[0]
+    s8, m8 = runs[8]
+    np.testing.assert_allclose(m0.loss_d, m8.loss_d, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(m0.loss_g, m8.loss_g, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s0.confusion),
+                                  np.asarray(s8.confusion))

@@ -198,3 +198,96 @@ def test_all_optimizers_step(method):
         for a, b in zip(jax.tree.leaves(new_state.params_d), jax.tree.leaves(state.params_d))
     )
     assert changed
+
+
+def test_boundary_pad_is_exact():
+    """--boundaryPad widens the G->D image interface with zero weight
+    lanes inside the step (step.py:make_boundary_padder). It is a pure
+    reparameterization: losses and GRADIENTS through the padded chain
+    must match the unpadded chain to summation-tiling tolerance (adding
+    zero products is exact; Adam's sign-sensitive first steps would
+    amplify that tiling drift, so params are compared on the real-chip
+    run in docs/KERNELS.md round 4, not here). Scale 32: D32b's
+    boundary is pure conv, so the pad actually engages (at 16px the
+    D16_d dense branch flattens the raw image and the gate falls back —
+    covered below)."""
+    from facegen.nn.core import Ctx
+    from facegen.train.step import make_boundary_padder
+
+    cfg = tiny_cfg(boundary_pad=8, scale=32)
+    g, d, state, pool = setup(cfg)
+    pad_g, pad_d, pad_imgs, d_flattens = make_boundary_padder(cfg)
+    assert not d_flattens(state.params_d)
+    assert pad_g(state.params_g)[1] == 1 and pad_d(state.params_d)[1] >= 1
+
+    half = cfg.batch_size // 2
+    real = pool[:half].astype(jnp.float32) / 255.0
+    noise = jax.random.uniform(jax.random.key(5), (half, cfg.noise_dim),
+                               jnp.float32, -1.0, 1.0)
+    k = jax.random.key(9)
+    targets = jnp.concatenate([jnp.ones((half,)), jnp.zeros((half,))])
+
+    # D chain: half real + half fake -> BCE
+    def loss_d(params_d, params_g, pad):
+        pg = pad_g(params_g)[0] if pad else params_g
+        fake, _ = g.apply(pg, state.state_g, noise, Ctx(k, True))
+        x = jnp.concatenate([pad_imgs(real) if pad else real, fake])
+        pd = pad_d(params_d)[0] if pad else params_d
+        logits, _ = d.apply(pd, state.state_d, x, Ctx(k, True))
+        return losses.bce_with_logits(logits, targets)
+
+    (l0, g0) = jax.value_and_grad(loss_d)(state.params_d, state.params_g, False)
+    (l8, g8) = jax.value_and_grad(loss_d)(state.params_d, state.params_g, True)
+    np.testing.assert_allclose(l0, l8, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+    # G chain: noise -> G -> D -> BCE vs all-real
+    def loss_g(params_g, pad):
+        pg = pad_g(params_g)[0] if pad else params_g
+        imgs, _ = g.apply(pg, state.state_g, noise, Ctx(k, True))
+        pd = pad_d(state.params_d)[0] if pad else state.params_d
+        logits, _ = d.apply(pd, state.state_d, imgs, Ctx(k, True))
+        return losses.bce_with_logits(logits, jnp.ones((half,)))
+
+    (l0, g0) = jax.value_and_grad(loss_g)(state.params_g, False)
+    (l8, g8) = jax.value_and_grad(loss_g)(state.params_g, True)
+    np.testing.assert_allclose(l0, l8, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_boundary_pad_skips_image_flattening_d():
+    """D16_d's dense branch consumes the FLATTENED raw image
+    (models.lua:286-299): padding the image would feed its fc1 a
+    16*16*8 vector. The trace-time gate must detect the flatten
+    consumer and fall back to the identity."""
+    cfg = tiny_cfg(boundary_pad=8, n_epoch=8)  # scale 16 -> D16_d
+    g, d, state, pool = setup(cfg)
+    step = jax.jit(make_train_step(g, d, cfg))
+    new_state, m = step(state, jax.random.key(0), pool)
+    assert bool(jnp.isfinite(m.loss_d)) and bool(jnp.isfinite(m.loss_g))
+
+
+def test_boundary_pad_skips_models_without_conv_boundary():
+    """The flat-G variant has no output conv; the padder must detect
+    that at trace time and fall back to the identity (a padded real
+    batch against a 1-channel fake would otherwise shape-error)."""
+    from facegen.models.gan import create_g_flat
+    from facegen.nn import init as winit
+
+    cfg = tiny_cfg(boundary_pad=8)
+    g = create_g_flat(cfg.scale, cfg.channels, cfg.noise_dim)
+    d = gan.create_d(cfg.scale, cfg.channels)
+    kg, kd = jax.random.split(jax.random.key(cfg.seed))
+    params_g, state_g, _ = g.init(kg, (cfg.noise_dim,))
+    params_d, state_d, _ = d.init(kd, cfg.img_shape)
+    bundle = {"params_g": winit.zero_biases(params_g), "state_g": state_g,
+              "params_d": winit.zero_biases(params_d), "state_d": state_d}
+    state = init_state(cfg, bundle)
+    pool = jax.random.randint(
+        jax.random.key(7), (64,) + cfg.img_shape, 0, 256, jnp.uint8
+    )
+    step = jax.jit(make_train_step(g, d, cfg))
+    new_state, m = step(state, jax.random.key(0), pool)
+    assert bool(jnp.isfinite(m.loss_d)) and bool(jnp.isfinite(m.loss_g))

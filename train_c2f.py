@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--meshShape", type=str, default="-1", dest="mesh_shape",
                    help="device mesh 'DP' or 'DP,MP' (data x model GSPMD), "
                         "-1 = all devices")
+    p.add_argument("--boundaryPad", type=int, default=0, dest="boundary_pad",
+                   help="widen the diff/coarse image interface inside the "
+                        "train step (exact zero-weight reparameterization; "
+                        "measured no-win on v5e, docs/KERNELS.md round 4; "
+                        "0 = off)")
     a = p.parse_args(argv)
     cfg = C2FConfig(
         save=a.save, save_freq=a.save_freq, network=a.network, noplot=a.noplot,
@@ -62,6 +67,7 @@ def main(argv=None):
         epochs=a.epochs, synthetic_data=a.synthetic_data,
         dataset_dir=a.dataset_dir,
         mesh_shape=tuple(int(x) for x in str(a.mesh_shape).split(",")),
+        boundary_pad=a.boundary_pad,
     ).validate()
     from facegen.parallel import mesh2d_from_shape
 
