@@ -544,6 +544,15 @@ def main(argv=None):
 
         samples_b = load_grid(args.samples_b, args.tile,
                               grayscale=args.grayscale)
+        if samples_b.shape[1] != args.scale:
+            # published grids are 32px; a 16px checkpoint compares
+            # against the same population at ITS scale via the
+            # load-time bilinear downscale every training image takes
+            # (dataset.lua:90-95)
+            n, _, _, c = samples_b.shape
+            samples_b = np.asarray(jax.image.resize(
+                jnp.asarray(samples_b, jnp.float32),
+                (n, args.scale, args.scale, c), method="linear"))
         report = sample_report(
             g_a, d_a, bundle_a, samples_b, train_images,
             n_samples=args.n, noise_dim=args.noise_dim,

@@ -168,3 +168,42 @@ def test_self_report_fields():
                       compute_dtype="float32")
     assert rep["nn_distance"]["mean"] > 0
     assert np.isfinite(rep["frechet_vs_real"])
+
+
+def test_cli_cross_scale_samples_b(tmp_path):
+    """The CLI compares a 16px checkpoint against a 32px-tile published
+    grid by downscaling the sliced population to the checkpoint's scale
+    (the load-time bilinear route every training image takes,
+    dataset.lua:90-95)."""
+    import json
+
+    from PIL import Image
+
+    from facegen.config import TrainConfig
+    from facegen.eval import parity
+    from facegen.train.loop import Trainer
+
+    cfg = TrainConfig(
+        batch_size=8, scale=16, grayscale=True, noise_dim=16,
+        n_epoch=8, compute_dtype="float32", reference_init=False,
+        synthetic_data=True, save=str(tmp_path / "logs"), noplot=True,
+    ).validate()
+    Trainer(cfg, verbose=False).save()
+
+    # a 2x2 grid of 32px tiles (the published-artifact layout)
+    rng = np.random.default_rng(0)
+    grid = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    grid_path = tmp_path / "grid.png"
+    Image.fromarray(grid).save(grid_path)
+
+    out = tmp_path / "report.json"
+    parity.main([
+        "--network_a", str(tmp_path / "logs" / "adversarial"),
+        "--samples_b", str(grid_path), "--tile", "32",
+        "--synthetic", "--n", "6", "--n_train", "12",
+        "--out", str(out),
+    ])
+    rep = json.loads(out.read_text())
+    assert rep["n_samples"] == {"ours": 6, "reference": 4}
+    assert np.isfinite(rep["frechet_pixels"]["ours_vs_reference"])
+    assert "nn_distance" in rep

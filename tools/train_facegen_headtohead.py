@@ -1,0 +1,97 @@
+"""Train the facegen side of the head-to-head quality run.
+
+Counterpart of tools/train_torch_proxy.py: the SAME pre-augmented
+store (dataset/refgrid_aug32.npy, built by tools/make_proxy_store.py),
+the SAME reference published-images config (`--D_L1 0 --D_L2 0
+--D_iterations 2`, Adam, batch 32 — /root/reference/README.md:11,128),
+trained through facegen's own TPU pipeline with augmentation OFF
+(the store is already the reference's offline 1-original+19-augmented
+regime, generate_dataset.py:29-30).
+
+A snapshot of the checkpoint is retained every --snap epochs so the
+comparison can be made at MATCHED image budgets against whatever epoch
+the one-core torch proxy reaches (its checkpoints land every 25
+epochs too; 1 epoch = 1000 images on both sides, adversarial.lua:54).
+
+Usage:
+  python tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
+      --save logs/facegen_headtohead --epochs 400 --snap 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", default="dataset/refgrid_aug32.npy")
+    p.add_argument("--save", default="logs/facegen_headtohead")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--snap", type=int, default=25)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16",
+                   help="compute_dtype (diagnostic: fp32 vs bf16 training)")
+    args = p.parse_args(argv)
+
+    from facegen.config import TrainConfig
+    from facegen.data.pipeline import DataSource
+    from facegen.train.loop import Trainer
+
+    cfg = TrainConfig(
+        batch_size=32,
+        save=args.save,
+        save_freq=args.snap,
+        noplot=True,
+        n_epoch=1000,          # adversarial.lua:54 default
+        d_l1=0.0, d_l2=0.0,    # published-images config (README.md:128)
+        d_iterations=2,
+        seed=args.seed,
+        epochs=args.epochs,
+        epochs_per_compile=args.snap,
+        compute_dtype=args.dtype,
+    )
+    store = np.load(args.store, mmap_mode="r")
+    assert store.shape[1:] == (cfg.scale, cfg.scale, cfg.channels), store.shape
+    source = DataSource(cfg.scale, cfg.channels, store=store, augment=False)
+    trainer = Trainer(cfg, source=source)
+
+    os.makedirs(args.save, exist_ok=True)
+    log_path = os.path.join(args.save, "train_log.jsonl")
+    t0 = time.time()
+    done = 0
+    with open(log_path, "a") as log:
+        while done < args.epochs:
+            n = min(args.snap, args.epochs - done)
+            t_seg = time.time()
+            for stats in trainer.run(epochs=n):
+                row = {k: (float(v) if hasattr(v, "item") or
+                           isinstance(v, float) else v)
+                       for k, v in stats.items()
+                       if isinstance(v, (int, float)) or hasattr(v, "item")}
+                row["elapsed"] = round(time.time() - t0, 1)
+                log.write(json.dumps(row) + "\n")
+            log.flush()
+            done += n
+            trainer.save()
+            src = os.path.join(args.save, "adversarial")
+            dst = os.path.join(args.save, f"adversarial_ep{done:05d}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+            dt = time.time() - t_seg
+            print(f"[headtohead] epoch {done}/{args.epochs} "
+                  f"({n * cfg.n_epoch / dt:.0f} img/s) -> {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
