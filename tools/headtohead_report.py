@@ -71,6 +71,10 @@ def main(argv=None):
                    help="directory for side-by-side best-64 grids")
     p.add_argument("--n", type=int, default=1024)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--variant", action="append", default=[],
+                   metavar="LABEL=SAVEDIR",
+                   help="extra facegen runs (seed/dtype robustness) scored "
+                        "at the final matched epoch only")
     args = p.parse_args(argv)
 
     import jax
@@ -114,6 +118,38 @@ def main(argv=None):
               f"{rep['nn_distance']['mean_torch_proxy']:.3f}", flush=True)
 
     final = eps[-1]
+
+    variants = {}
+    for spec in args.variant:
+        label, savedir = spec.split("=", 1)
+        fg_ckpt = os.path.join(savedir, f"adversarial_ep{final:05d}")
+        if not os.path.isdir(fg_ckpt):
+            print(f"variant {label}: no snapshot at epoch {final}, skipped")
+            continue
+        g, d, bundle, meta, _ = parity._load_gan(fg_ckpt)
+        sb, _ = proxy_samples(args.proxy_save, final, args.n, args.seed)
+        rep = parity.sample_report(
+            g, d, bundle, sb,
+            train_images=train_images,
+            n_samples=args.n,
+            noise_dim=int(meta.get("noise_dim", 100)),
+            key=jax.random.key(args.seed),
+            label_a="facegen", label_b="torch_proxy",
+        )
+        variants[label] = {
+            "save": savedir,
+            "frechet_pixels": rep["frechet_pixels"],
+            "nn_distance_mean": {
+                "facegen": rep["nn_distance"]["mean_facegen"],
+                "torch_proxy": rep["nn_distance"]["mean_torch_proxy"],
+            },
+            "pixel_moments": rep["pixel_moments"],
+        }
+        px = rep["frechet_pixels"]
+        print(f"variant {label} @ epoch {final}: pixel Fréchet vs real "
+              f"{px['facegen_vs_real']:.2f} (proxy "
+              f"{px['torch_proxy_vs_real']:.2f})", flush=True)
+
     out = {
         "setup": {
             "store": args.store,
@@ -134,6 +170,7 @@ def main(argv=None):
         },
         "final_epoch": final,
         "final": reports[final],
+        "variants_at_final_epoch": variants,
         "trajectory": {
             str(e): {
                 "images_seen": reports[e]["images_seen"],
