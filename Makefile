@@ -64,5 +64,13 @@ demo:
 test:
 	$(PY) -m pytest tests/ -q
 
+# <5 min cold: one or two tests per subsystem (tier list in tests/conftest.py)
+quick-test:
+	$(PY) -m pytest tests/ -q -m smoke
+
+# full suite minus the multi-process / long-compile tail
+test-fast:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
 bench:
 	$(PY) bench.py
