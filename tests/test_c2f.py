@@ -174,6 +174,7 @@ def test_refine_c2f_picks_max_d_score_candidate():
         np.testing.assert_allclose(out[i], want, atol=1e-5)
 
 
+@pytest.mark.slow  # 200s: pins an off-by-default experiment (--boundaryPad)
 def test_c2f_boundary_pad_is_exact():
     """--boundaryPad on the c2f engine (train/c2f.py) is a pure
     reparameterization of the diff/coarse interface: losses and

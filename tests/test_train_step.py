@@ -200,6 +200,7 @@ def test_all_optimizers_step(method):
     assert changed
 
 
+@pytest.mark.slow  # 60s: pins an off-by-default experiment (--boundaryPad)
 def test_boundary_pad_is_exact():
     """--boundaryPad widens the G->D image interface with zero weight
     lanes inside the step (step.py:make_boundary_padder). It is a pure
