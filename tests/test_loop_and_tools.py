@@ -650,3 +650,34 @@ def test_show_model_content_both_path_forms(tmp_path, capsys):
     for out in (out1, out2):
         assert "epoch:" in out and "params_g" in out
     assert out1.splitlines()[1:] == out2.splitlines()[1:]  # same content
+
+
+def test_headtohead_report_helpers(tmp_path):
+    """Pure helpers of the head-to-head scorer: snapshot discovery and
+    wall-clock lookup (the equal-wallclock row reads both trainers'
+    `elapsed` fields; on resume a re-trained epoch appears twice and the
+    LAST row must win)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools import headtohead_report as hr
+
+    for e in (10, 2, 30):
+        (tmp_path / f"proxy_ep{e:05d}.pt").write_bytes(b"")
+    (tmp_path / "proxy_latest.pt").write_bytes(b"")
+    assert hr.proxy_epochs(str(tmp_path)) == [2, 10, 30]
+
+    rows = [
+        {"epoch": 1, "elapsed": 100.0},
+        {"epoch": 2, "elapsed": 200.0},
+        {"epoch": 2, "elapsed": 350.0},  # resumed re-train of epoch 2
+        {"epoch": 3},                    # no elapsed field -> ignored
+    ]
+    with open(tmp_path / "train_log.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("not json\n")
+    assert hr.log_elapsed(str(tmp_path), 2) == 350.0
+    assert hr.log_elapsed(str(tmp_path), 3) is None
+    assert hr.log_elapsed(str(tmp_path / "missing"), 1) is None

@@ -51,7 +51,7 @@ def proxy_samples(proxy_save: str, epoch: int, n: int, seed: int):
 
     a = A()
     a.sample = os.path.join(proxy_save, f"proxy_ep{epoch:05d}.pt")
-    a.out = os.path.join(proxy_save, f"samples_ep{epoch:05d}.npy")
+    a.out = os.path.join(proxy_save, f"samples_ep{epoch:05d}_n{n}.npy")
     a.n = n
     a.seed = seed
     a.threads = 1
@@ -59,6 +59,24 @@ def proxy_samples(proxy_save: str, epoch: int, n: int, seed: int):
         ttp.sample(a)
     return (np.load(a.out),
             np.load(os.path.splitext(a.out)[0] + "_dscores.npy"))
+
+
+def log_elapsed(save_dir: str, epoch: int):
+    """Wall-clock seconds at the end of `epoch` from train_log.jsonl
+    (both trainers write an `elapsed` field per epoch row)."""
+    path = os.path.join(save_dir, "train_log.jsonl")
+    if not os.path.exists(path):
+        return None
+    best = None
+    with open(path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if int(row.get("epoch", -1)) == epoch and "elapsed" in row:
+                best = float(row["elapsed"])
+    return best
 
 
 def main(argv=None):
@@ -70,6 +88,9 @@ def main(argv=None):
     p.add_argument("--grids", default=None,
                    help="directory for side-by-side best-64 grids")
     p.add_argument("--n", type=int, default=1024)
+    p.add_argument("--n-final", type=int, default=2048,
+                   help="larger sample count for the FINAL matched epoch "
+                        "(stabilizes the 3072-dim pixel Fréchet estimate)")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--variant", action="append", default=[],
                    metavar="LABEL=SAVEDIR",
@@ -96,14 +117,15 @@ def main(argv=None):
 
     reports = {}
     for e in eps:
+        n_e = args.n_final if e == eps[-1] else args.n
         fg_ckpt = os.path.join(args.facegen_save, f"adversarial_ep{e:05d}")
         g, d, bundle, meta, resolved = parity._load_gan(fg_ckpt)
-        sb, proxy_scores = proxy_samples(args.proxy_save, e, args.n,
+        sb, proxy_scores = proxy_samples(args.proxy_save, e, n_e,
                                          args.seed)
         rep = parity.sample_report(
             g, d, bundle, sb,
             train_images=train_images,
-            n_samples=args.n,
+            n_samples=n_e,
             noise_dim=int(meta.get("noise_dim", 100)),
             key=jax.random.key(args.seed),
             label_a="facegen", label_b="torch_proxy",
@@ -127,11 +149,12 @@ def main(argv=None):
             print(f"variant {label}: no snapshot at epoch {final}, skipped")
             continue
         g, d, bundle, meta, _ = parity._load_gan(fg_ckpt)
-        sb, _ = proxy_samples(args.proxy_save, final, args.n, args.seed)
+        sb, _ = proxy_samples(args.proxy_save, final, args.n_final,
+                              args.seed)
         rep = parity.sample_report(
             g, d, bundle, sb,
             train_images=train_images,
-            n_samples=args.n,
+            n_samples=args.n_final,
             noise_dim=int(meta.get("noise_dim", 100)),
             key=jax.random.key(args.seed),
             label_a="facegen", label_b="torch_proxy",
@@ -149,6 +172,79 @@ def main(argv=None):
         print(f"variant {label} @ epoch {final}: pixel Fréchet vs real "
               f"{px['facegen_vs_real']:.2f} (proxy "
               f"{px['torch_proxy_vs_real']:.2f})", flush=True)
+
+    # --- estimator noise floor at the final matched epoch -----------------
+    # The 3072-dim pixel Fréchet from n samples has irreducible estimation
+    # noise; two checkpoint-independent floors calibrate how big a
+    # facegen-vs-proxy difference must be to mean anything:
+    #  * real_split: the SAME real distribution against itself (two
+    #    disjoint halves of the shuffled store)
+    #  * facegen_redraw: the SAME generator, two independent noise draws
+    fg_ckpt = os.path.join(args.facegen_save, f"adversarial_ep{final:05d}")
+    g, d, bundle, meta, _ = parity._load_gan(fg_ckpt)
+    inf = GanInference(g, d, int(meta.get("noise_dim", 100)))
+    nf = args.n_final
+    draw1 = np.asarray(inf.generate_n(bundle, jax.random.key(args.seed), nf))
+    draw2 = np.asarray(inf.generate_n(bundle, jax.random.key(args.seed + 1),
+                                      nf))
+    perm = np.random.default_rng(0).permutation(train_images.shape[0])
+    half = min(nf, train_images.shape[0] // 2)
+    ra = train_images[perm[:half]].reshape(half, -1)
+    rb = train_images[perm[half:2 * half]].reshape(half, -1)
+    noise_floor = {
+        "n": nf,
+        "frechet_pixels_real_split": parity.frechet_distance(ra, rb),
+        "frechet_pixels_facegen_redraw": parity.frechet_distance(
+            draw1.reshape(nf, -1), draw2.reshape(nf, -1)),
+    }
+    print(f"noise floor (n={nf}): real-split "
+          f"{noise_floor['frechet_pixels_real_split']:.2f}, "
+          f"facegen-redraw "
+          f"{noise_floor['frechet_pixels_facegen_redraw']:.2f}", flush=True)
+
+    # --- equal wall-clock comparison --------------------------------------
+    # Matched image budgets answer "same data seen"; this answers the
+    # throughput-quality product a user actually buys: what each framework
+    # delivers in the same elapsed time on its own hardware (facegen's
+    # FURTHEST snapshot was reached in less wall-clock than the proxy's).
+    fg_eps = sorted(
+        int(m.group(1)) for p in glob.glob(
+            os.path.join(args.facegen_save, "adversarial_ep*"))
+        if (m := re.search(r"adversarial_ep(\d+)$", p)))
+    equal_wallclock = None
+    if fg_eps and fg_eps[-1] > final:
+        fg_last = fg_eps[-1]
+        g2, d2, bundle2, meta2, _ = parity._load_gan(
+            os.path.join(args.facegen_save, f"adversarial_ep{fg_last:05d}"))
+        sb, _ = proxy_samples(args.proxy_save, final, args.n_final, args.seed)
+        rep = parity.sample_report(
+            g2, d2, bundle2, sb,
+            train_images=train_images,
+            n_samples=args.n_final,
+            noise_dim=int(meta2.get("noise_dim", 100)),
+            key=jax.random.key(args.seed),
+            label_a="facegen", label_b="torch_proxy",
+        )
+        equal_wallclock = {
+            "note": "facegen's furthest snapshot vs the proxy's furthest — "
+                    "facegen reached MORE images in LESS wall-clock "
+                    "(elapsed fields below), so this is the quality each "
+                    "framework delivers per unit time",
+            "facegen_epoch": fg_last,
+            "facegen_images_seen": fg_last * 1000,
+            "facegen_elapsed_s": log_elapsed(args.facegen_save, fg_last),
+            "torch_proxy_epoch": final,
+            "torch_proxy_images_seen": final * 1000,
+            "torch_proxy_elapsed_s": log_elapsed(args.proxy_save, final),
+            "frechet_pixels": rep["frechet_pixels"],
+            "frechet_d_features": rep["frechet_d_features"],
+            "nn_distance": rep["nn_distance"],
+            "pixel_moments": rep["pixel_moments"],
+        }
+        px = rep["frechet_pixels"]
+        print(f"equal-wallclock: facegen ep{fg_last} pixel Fréchet vs real "
+              f"{px['facegen_vs_real']:.2f} vs proxy ep{final} "
+              f"{px['torch_proxy_vs_real']:.2f}", flush=True)
 
     out = {
         "setup": {
@@ -170,6 +266,8 @@ def main(argv=None):
         },
         "final_epoch": final,
         "final": reports[final],
+        "noise_floor": noise_floor,
+        "equal_wallclock": equal_wallclock,
         "variants_at_final_epoch": variants,
         "trajectory": {
             str(e): {
@@ -198,9 +296,10 @@ def main(argv=None):
         g, d, bundle, meta, _ = parity._load_gan(fg_ckpt)
         inf = GanInference(g, d, int(meta.get("noise_dim", 100)))
         key = jax.random.key(args.seed)
-        sa = np.asarray(inf.generate_n(bundle, key, args.n))
+        sa = np.asarray(inf.generate_n(bundle, key, args.n_final))
         sc_a = np.asarray(inf.score(bundle, sa))
-        sb, sc_b = proxy_samples(args.proxy_save, final, args.n, args.seed)
+        sb, sc_b = proxy_samples(args.proxy_save, final, args.n_final,
+                                 args.seed)
         # each population ranked by ITS OWN discriminator — the
         # reference's best-64 selection (sample.lua:84-89)
         best_a = sa[np.argsort(-sc_a)[:64]]
