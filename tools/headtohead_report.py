@@ -61,6 +61,42 @@ def proxy_samples(proxy_save: str, epoch: int, n: int, seed: int):
             np.load(os.path.splitext(a.out)[0] + "_dscores.npy"))
 
 
+def proxy_d_features(proxy_save: str, epoch: int, image_sets):
+    """512-dim penultimate-layer embeddings from the PROXY's trained D
+    (everything before the final Linear(512,1)+Sigmoid, eval mode).
+
+    The main report's D-feature rows embed both populations with the
+    facegen checkpoint's D; this is the symmetric row — the same three
+    Fréchets measured with the OTHER side's ruler, so neither framework
+    is judged only in its own feature space.
+
+    image_sets: list of (n, 32, 32, 3) float arrays in [0, 1].
+    Returns a list of (n, 512) float32 arrays.
+    """
+    import torch
+
+    from tools import train_torch_proxy as ttp
+
+    torch.set_num_threads(1)
+    ck = torch.load(os.path.join(proxy_save, f"proxy_ep{epoch:05d}.pt"),
+                    weights_only=False)
+    _, d_net = ttp.build_models(3)
+    d_net.load_state_dict(ck["D"])
+    d_net.eval()
+    feat = d_net[:-2]
+    outs = []
+    with torch.no_grad():
+        for imgs in image_sets:
+            fs = []
+            for i in range(0, len(imgs), 256):
+                x = torch.from_numpy(
+                    np.ascontiguousarray(imgs[i:i + 256], np.float32)
+                ).permute(0, 3, 1, 2)
+                fs.append(feat(x))
+            outs.append(torch.cat(fs).numpy().astype(np.float32))
+    return outs
+
+
 def log_elapsed(save_dir: str, epoch: int):
     """Wall-clock seconds at the end of `epoch` from train_log.jsonl
     (both trainers write an `elapsed` field per epoch row)."""
@@ -201,6 +237,25 @@ def main(argv=None):
           f"{noise_floor['frechet_pixels_real_split']:.2f}, "
           f"facegen-redraw "
           f"{noise_floor['frechet_pixels_facegen_redraw']:.2f}", flush=True)
+
+    # --- symmetric embedding: the proxy's D as the feature space ----------
+    # reports[final]'s frechet_d_features embeds both populations with
+    # facegen's D; measure the same three distances with the proxy's D so
+    # the comparison does not depend on whose ruler is used.
+    sb_final, _ = proxy_samples(args.proxy_save, final, nf, args.seed)
+    real_sub = train_images[perm[:nf]]
+    f_fg, f_px, f_re = proxy_d_features(
+        args.proxy_save, final, [draw1, sb_final, real_sub])
+    reports[final]["frechet_d_features_proxy_embedding"] = {
+        "facegen_vs_torch_proxy": parity.frechet_distance(f_fg, f_px),
+        "facegen_vs_real": parity.frechet_distance(f_fg, f_re),
+        "torch_proxy_vs_real": parity.frechet_distance(f_px, f_re),
+    }
+    pe = reports[final]["frechet_d_features_proxy_embedding"]
+    print(f"proxy-D embedding Fréchet: facegen_vs_real "
+          f"{pe['facegen_vs_real']:.2f} vs torch_proxy_vs_real "
+          f"{pe['torch_proxy_vs_real']:.2f} (cross "
+          f"{pe['facegen_vs_torch_proxy']:.2f})", flush=True)
 
     # --- equal wall-clock comparison --------------------------------------
     # Matched image budgets answer "same data seen"; this answers the
