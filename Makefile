@@ -16,7 +16,7 @@ SCALE     ?= 32
 BATCH     ?= 32
 PY        ?= python
 
-.PHONY: demo-lfw demo dataset train sample report test quick-test bench
+.PHONY: demo-lfw demo dataset train sample report test quick-test test-fast bench headtohead demo-refgrid
 
 dataset:
 	$(PY) -m facegen.data.lfw --path=$(LFW_DIR) --out=$(STORE)
@@ -52,6 +52,24 @@ demo-refgrid:
 	$(PY) -m facegen.eval.parity --network_a logs/refgrid/adversarial \
 	    --samples_b $(REFGRID) --data dataset/refgrid64.npy \
 	    --out logs/refgrid/parity_vs_reference.json
+
+# Head-to-head quality run (docs/ROUND4.md section 1): build the
+# reference's offline augmentation regime over the refgrid tiles
+# (1 original + 19 augmentations, generate_dataset.py:29-30), train the
+# config-matched torch-CPU reference proxy AND facegen on that SAME
+# store under the published-images config, then score both sample
+# populations at matched image budgets (+ noise floor, symmetric
+# proxy-D embedding, equal-wallclock row). The proxy is the long pole:
+# hours per hundred epochs on one CPU core vs ~7 min for facegen's
+# whole 400-epoch run on one TPU chip.
+headtohead:
+	$(PY) tools/make_proxy_store.py --out dataset/refgrid_aug32.npy
+	$(PY) tools/train_torch_proxy.py --store dataset/refgrid_aug32.npy \
+	    --save logs/proxy_headtohead --epochs 400 --snapshotFreq 10
+	$(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
+	    --save logs/facegen_headtohead --epochs 400 --snap 10
+	$(PY) tools/headtohead_report.py --out docs/artifacts/parity_headtohead.json \
+	    --grids docs/artifacts/r4_headtohead
 
 # identical pipeline, procedural data (no LFW needed)
 demo:
