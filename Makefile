@@ -68,8 +68,16 @@ headtohead:
 	    --save logs/proxy_headtohead --epochs 400 --snapshotFreq 10
 	$(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
 	    --save logs/facegen_headtohead --epochs 400 --snap 10
+	for s in 2 3 4 5; do \
+	    $(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
+	        --save logs/facegen_h2h_seed$$s --epochs 50 --snap 10 --seed $$s; done
+	$(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
+	    --save logs/facegen_h2h_fp32 --epochs 50 --snap 10 --dtype float32
 	$(PY) tools/headtohead_report.py --out docs/artifacts/parity_headtohead.json \
-	    --grids docs/artifacts/r4_headtohead
+	    --grids docs/artifacts/r4_headtohead \
+	    --variant seed2=logs/facegen_h2h_seed2 --variant seed3=logs/facegen_h2h_seed3 \
+	    --variant seed4=logs/facegen_h2h_seed4 --variant seed5=logs/facegen_h2h_seed5 \
+	    --variant fp32=logs/facegen_h2h_fp32
 
 # identical pipeline, procedural data (no LFW needed)
 demo:

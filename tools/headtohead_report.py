@@ -151,6 +151,43 @@ def main(argv=None):
         raise SystemExit("no matched snapshot epochs found on both sides")
     print(f"matched budgets (epochs): {eps}")
 
+    # Built incrementally and flushed after every stage so a long run cut
+    # off mid-way (the proxy side is hours of CPU) still leaves a valid,
+    # honestly-marked artifact on disk ("partial": true until the end).
+    out = {
+        "setup": {
+            "store": args.store,
+            "n_store_images": int(store.shape[0]),
+            "config": "reference published-images config: D_L1=0 D_L2=0 "
+                      "D_iterations=2, Adam 1e-3, batch 32 "
+                      "(README.md:11,128); both sides trained on the "
+                      "identical pre-augmented store, matched image "
+                      "budgets (1 epoch = 1000 images, adversarial.lua:54)",
+            "proxy": "tools/train_torch_proxy.py (torch-CPU, config-"
+                     "matched reference implementation)",
+            "facegen": "tools/train_facegen_headtohead.py (this repo, "
+                       "TPU, augment=False fixed store)",
+            "embedding_note": "D-feature rows use the facegen "
+                              "checkpoint's D for BOTH populations; "
+                              "frechet_pixels and nn_distance are "
+                              "checkpoint-independent",
+        },
+        "partial": True,
+        "final_epoch": eps[-1],
+        "final": None,
+        "noise_floor": None,
+        "equal_wallclock": None,
+        "variants_at_final_epoch": {},
+        "trajectory": {},
+    }
+
+    def flush_out():
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, args.out)
+
     reports = {}
     for e in eps:
         n_e = args.n_final if e == eps[-1] else args.n
@@ -168,6 +205,18 @@ def main(argv=None):
         )
         rep["images_seen"] = e * 1000
         reports[e] = rep
+        out["trajectory"][str(e)] = {
+            "images_seen": rep["images_seen"],
+            "frechet_pixels": rep["frechet_pixels"],
+            "nn_distance_mean": {
+                "facegen": rep["nn_distance"]["mean_facegen"],
+                "torch_proxy": rep["nn_distance"]["mean_torch_proxy"],
+            },
+            "pixel_moments": rep["pixel_moments"],
+        }
+        if e == eps[-1]:
+            out["final"] = rep
+        flush_out()
         px = rep["frechet_pixels"]
         print(f"epoch {e}: pixel Fréchet facegen_vs_real "
               f"{px['facegen_vs_real']:.2f} vs torch_proxy_vs_real "
@@ -204,6 +253,8 @@ def main(argv=None):
             },
             "pixel_moments": rep["pixel_moments"],
         }
+        out["variants_at_final_epoch"] = variants
+        flush_out()
         px = rep["frechet_pixels"]
         print(f"variant {label} @ epoch {final}: pixel Fréchet vs real "
               f"{px['facegen_vs_real']:.2f} (proxy "
@@ -237,6 +288,8 @@ def main(argv=None):
           f"{noise_floor['frechet_pixels_real_split']:.2f}, "
           f"facegen-redraw "
           f"{noise_floor['frechet_pixels_facegen_redraw']:.2f}", flush=True)
+    out["noise_floor"] = noise_floor
+    flush_out()
 
     # --- symmetric embedding: the proxy's D as the feature space ----------
     # reports[final]'s frechet_d_features embeds both populations with
@@ -256,6 +309,7 @@ def main(argv=None):
           f"{pe['facegen_vs_real']:.2f} vs torch_proxy_vs_real "
           f"{pe['torch_proxy_vs_real']:.2f} (cross "
           f"{pe['facegen_vs_torch_proxy']:.2f})", flush=True)
+    flush_out()  # reports[final] is out["final"]; embedding row just landed
 
     # --- equal wall-clock comparison --------------------------------------
     # Matched image budgets answer "same data seen"; this answers the
@@ -301,45 +355,9 @@ def main(argv=None):
               f"{px['facegen_vs_real']:.2f} vs proxy ep{final} "
               f"{px['torch_proxy_vs_real']:.2f}", flush=True)
 
-    out = {
-        "setup": {
-            "store": args.store,
-            "n_store_images": int(store.shape[0]),
-            "config": "reference published-images config: D_L1=0 D_L2=0 "
-                      "D_iterations=2, Adam 1e-3, batch 32 "
-                      "(README.md:11,128); both sides trained on the "
-                      "identical pre-augmented store, matched image "
-                      "budgets (1 epoch = 1000 images, adversarial.lua:54)",
-            "proxy": "tools/train_torch_proxy.py (torch-CPU, config-"
-                     "matched reference implementation)",
-            "facegen": "tools/train_facegen_headtohead.py (this repo, "
-                       "TPU, augment=False fixed store)",
-            "embedding_note": "D-feature rows use the facegen "
-                              "checkpoint's D for BOTH populations; "
-                              "frechet_pixels and nn_distance are "
-                              "checkpoint-independent",
-        },
-        "final_epoch": final,
-        "final": reports[final],
-        "noise_floor": noise_floor,
-        "equal_wallclock": equal_wallclock,
-        "variants_at_final_epoch": variants,
-        "trajectory": {
-            str(e): {
-                "images_seen": reports[e]["images_seen"],
-                "frechet_pixels": reports[e]["frechet_pixels"],
-                "nn_distance_mean": {
-                    "facegen": reports[e]["nn_distance"]["mean_facegen"],
-                    "torch_proxy":
-                        reports[e]["nn_distance"]["mean_torch_proxy"],
-                },
-                "pixel_moments": reports[e]["pixel_moments"],
-            } for e in eps
-        },
-    }
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    out["equal_wallclock"] = equal_wallclock
+    out["partial"] = False
+    flush_out()
     print(f"wrote {args.out}")
 
     if args.grids:
