@@ -70,7 +70,8 @@ headtohead:
 	    --save logs/facegen_headtohead --epochs 400 --snap 10
 	for s in 2 3 4 5; do \
 	    $(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
-	        --save logs/facegen_h2h_seed$$s --epochs 50 --snap 10 --seed $$s; done
+	        --save logs/facegen_h2h_seed$$s --epochs 50 --snap 10 --seed $$s \
+	        || exit 1; done
 	$(PY) tools/train_facegen_headtohead.py --store dataset/refgrid_aug32.npy \
 	    --save logs/facegen_h2h_fp32 --epochs 50 --snap 10 --dtype float32
 	$(PY) tools/headtohead_report.py --out docs/artifacts/parity_headtohead.json \

@@ -49,6 +49,45 @@ def test_frechet_identical_is_zero_and_shift_is_mu_sq():
     assert d == pytest.approx(8 * 0.25, rel=0.05)
 
 
+def _frechet_exact(a, b, eps=1e-6):
+    """The dense dim^3 reference formula (the slow path in
+    frechet_distance), for validating the rank-deficient Gram fast path."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + eps * np.eye(a.shape[1])
+    cb = np.cov(b, rowvar=False) + eps * np.eye(b.shape[1])
+    diff = mu_a - mu_b
+    wa, va = np.linalg.eigh(ca)
+    sa = (va * np.sqrt(np.clip(wa, 0, None))) @ va.T
+    wm = np.clip(np.linalg.eigvalsh(sa @ cb @ sa), 0.0, None)
+    return float(diff @ diff + np.trace(ca) + np.trace(cb)
+                 - 2.0 * np.sqrt(wm).sum())
+
+
+def test_frechet_gram_fast_path_matches_exact():
+    # n < dim triggers the Gram fast path; it must agree with the dense
+    # eigendecomposition formula (up to the eps*I ridge the fast path
+    # legitimately drops)
+    rng = np.random.default_rng(2)
+    dim = 100
+    a = rng.normal(size=(60, dim))
+    b = 0.8 * rng.normal(size=(80, dim)) + 0.3
+    d_fast = frechet_distance(a, b)
+    # exact (up to eigh roundoff) against the eps=0 dense formula — the
+    # fast path computes the same quantity without the ridge
+    assert d_fast == pytest.approx(_frechet_exact(a, b, eps=0.0), rel=1e-6)
+    # the ridge the fast path drops perturbs the dense path only at the
+    # ~dim*sqrt(eps) scale (≈0.1% here)
+    assert d_fast == pytest.approx(_frechet_exact(a, b), rel=2e-3)
+    # mixed case: one side bigger than dim (the vs-real pairs)
+    big = rng.normal(size=(300, dim)) * 1.1
+    assert frechet_distance(a, big) == pytest.approx(
+        _frechet_exact(a, big, eps=0.0), rel=1e-6)
+    # symmetry of the fast path
+    assert frechet_distance(b, a) == pytest.approx(d_fast, rel=1e-9)
+
+
 def test_min_nn_distances_exact_tiny():
     train = np.zeros((4, 2, 2, 1), np.float32)
     train[1] += 1.0

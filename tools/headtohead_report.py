@@ -51,7 +51,10 @@ def proxy_samples(proxy_save: str, epoch: int, n: int, seed: int):
 
     a = A()
     a.sample = os.path.join(proxy_save, f"proxy_ep{epoch:05d}.pt")
-    a.out = os.path.join(proxy_save, f"samples_ep{epoch:05d}_n{n}.npy")
+    # cache key includes the sampling seed: re-running the report with a
+    # different --seed must not silently reuse samples drawn under the
+    # previous seed (advisor round-4 finding)
+    a.out = os.path.join(proxy_save, f"samples_ep{epoch:05d}_n{n}_s{seed}.npy")
     a.n = n
     a.seed = seed
     a.threads = 1
@@ -204,9 +207,14 @@ def main(argv=None):
             label_a="facegen", label_b="torch_proxy",
         )
         rep["images_seen"] = e * 1000
+        rep["n_samples_scored"] = n_e
         reports[e] = rep
         out["trajectory"][str(e)] = {
             "images_seen": rep["images_seen"],
+            # sample count varies along the trajectory (--n vs --n-final);
+            # pixel-Fréchet estimates are n-dependent, so record which n
+            # produced each point (advisor round-4 finding)
+            "n": n_e,
             "frechet_pixels": rep["frechet_pixels"],
             "nn_distance_mean": {
                 "facegen": rep["nn_distance"]["mean_facegen"],
@@ -246,6 +254,7 @@ def main(argv=None):
         )
         variants[label] = {
             "save": savedir,
+            "n": args.n_final,
             "frechet_pixels": rep["frechet_pixels"],
             "nn_distance_mean": {
                 "facegen": rep["nn_distance"]["mean_facegen"],
@@ -334,17 +343,27 @@ def main(argv=None):
             key=jax.random.key(args.seed),
             label_a="facegen", label_b="torch_proxy",
         )
+        # directional claim derived from the measured elapsed values, not
+        # hardcoded (advisor round-4 finding)
+        fg_el = log_elapsed(args.facegen_save, fg_last)
+        px_el = log_elapsed(args.proxy_save, final)
+        if fg_el is not None and px_el is not None and fg_el < px_el:
+            ew_note = ("facegen's furthest snapshot vs the proxy's furthest "
+                       "— facegen reached MORE images in LESS wall-clock "
+                       "(elapsed fields below), so this is the quality each "
+                       "framework delivers per unit time")
+        else:
+            ew_note = ("facegen's furthest snapshot vs the proxy's furthest; "
+                       "compare the elapsed fields below for the per-time "
+                       "interpretation")
         equal_wallclock = {
-            "note": "facegen's furthest snapshot vs the proxy's furthest — "
-                    "facegen reached MORE images in LESS wall-clock "
-                    "(elapsed fields below), so this is the quality each "
-                    "framework delivers per unit time",
+            "note": ew_note,
             "facegen_epoch": fg_last,
             "facegen_images_seen": fg_last * 1000,
-            "facegen_elapsed_s": log_elapsed(args.facegen_save, fg_last),
+            "facegen_elapsed_s": fg_el,
             "torch_proxy_epoch": final,
             "torch_proxy_images_seen": final * 1000,
-            "torch_proxy_elapsed_s": log_elapsed(args.proxy_save, final),
+            "torch_proxy_elapsed_s": px_el,
             "frechet_pixels": rep["frechet_pixels"],
             "frechet_d_features": rep["frechet_d_features"],
             "nn_distance": rep["nn_distance"],
