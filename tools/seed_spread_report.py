@@ -1,0 +1,190 @@
+"""Score the matched-budget seed spread: facegen's seed DISTRIBUTION
+vs the torch proxy's run(s) at each matched image budget.
+
+Round-5 closure of the round-4 head-to-head's statistical-power gap:
+the round-4 artifact compared ONE proxy run against six facegen runs
+at a single 40k-image budget (proxy below all six, p~0.14 under the
+null). This report scores ~20 facegen seeds and every available proxy
+run at EVERY matched budget, so the comparison is between a
+distribution and a sample, not two samples.
+
+Metric: pixel Fréchet vs the shared train store (checkpoint- and
+framework-independent; the quality evidence this mirrors is the
+reference's published grids, /root/reference/sample.lua:80-98) plus
+mean NN distance to the store. Real side = first --n store images,
+matching facegen.eval.parity.sample_report's convention so numbers are
+comparable with parity_headtohead.json.
+
+Usage:
+  python tools/seed_spread_report.py \
+      --facegen logs/facegen_headtohead --facegen 'logs/fgspread_s*' \
+      --proxy main=logs/proxy_headtohead --proxy seed2=logs/proxy_seed2 \
+      --out docs/artifacts/seed_spread.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def facegen_epochs(save: str):
+    out = []
+    for p in glob.glob(os.path.join(save, "adversarial_ep*")):
+        m = re.search(r"adversarial_ep(\d+)$", p)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def score_samples(samples: np.ndarray, real_px: np.ndarray, nn_ds) -> dict:
+    from facegen.eval import parity
+
+    px = samples.reshape(len(samples), -1)
+    nn = parity.min_nn_distances(samples, nn_ds)
+    return {
+        "frechet_pixels_vs_real": parity.frechet_distance(px, real_px),
+        "nn_distance_mean": float(nn.mean()),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--facegen", action="append", default=[],
+                   help="facegen save dir or glob (repeatable)")
+    p.add_argument("--proxy", action="append", default=[],
+                   metavar="LABEL=SAVEDIR",
+                   help="proxy save dir (repeatable)")
+    p.add_argument("--store", default="dataset/refgrid_aug32.npy")
+    p.add_argument("--out", default="docs/artifacts/seed_spread.json")
+    p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--budgets", default=None,
+                   help="comma-separated epochs; default = every epoch "
+                        "where >= 2 facegen runs and >= 1 proxy run "
+                        "have snapshots")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from facegen.eval import parity
+    from facegen.utils.infer import GanInference, prepare_nn_dataset
+    from tools.headtohead_report import proxy_epochs, proxy_samples
+
+    fg_dirs = []
+    for spec in args.facegen:
+        hits = sorted(glob.glob(spec)) or [spec]
+        fg_dirs += [h for h in hits if os.path.isdir(h)]
+    fg_dirs = list(dict.fromkeys(fg_dirs))
+    if not fg_dirs:
+        raise SystemExit("no facegen save dirs found")
+    proxies = [s.split("=", 1) for s in args.proxy]
+
+    store = np.load(args.store, mmap_mode="r")
+    train_images = np.asarray(store, np.float32) / 255.0
+    real_px = train_images[: args.n].reshape(
+        min(args.n, len(train_images)), -1)
+    nn_ds = prepare_nn_dataset(train_images)
+
+    fg_eps = {d: set(facegen_epochs(d)) for d in fg_dirs}
+    px_eps = {lab: set(proxy_epochs(sv)) for lab, sv in proxies}
+    if args.budgets:
+        budgets = [int(b) for b in args.budgets.split(",")]
+    else:
+        all_eps = sorted(set().union(*fg_eps.values()))
+        budgets = [
+            e for e in all_eps
+            if sum(e in s for s in fg_eps.values()) >= 2
+            and any(e in s for s in px_eps.values())
+        ]
+    if not budgets:
+        raise SystemExit("no common budgets")
+    print(f"facegen runs: {len(fg_dirs)}; proxies: {[l for l, _ in proxies]}; "
+          f"budgets: {budgets}", flush=True)
+
+    out = {
+        "setup": {
+            "store": args.store,
+            "n": args.n,
+            "metric": "pixel Fréchet vs first-n store images + mean NN "
+                      "distance; matches parity_headtohead.json conventions",
+            "facegen_runs": fg_dirs,
+            "proxy_runs": {lab: sv for lab, sv in proxies},
+            "config": "reference published-images config (README.md:11,128)",
+        },
+        "partial": True,
+        "budgets": {},
+    }
+
+    def flush():
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, args.out)
+
+    key = jax.random.key(args.seed)
+    inf_cache: dict = {}
+    for e in budgets:
+        row = {"images_seen": e * 1000, "facegen": {}, "proxy": {}}
+        for d in fg_dirs:
+            if e not in fg_eps[d]:
+                continue
+            ck = os.path.join(d, f"adversarial_ep{e:05d}")
+            g, dd, bundle, meta, _ = parity._load_gan(ck)
+            inf = GanInference(g, dd, int(meta.get("noise_dim", 100)))
+            samples = np.asarray(inf.generate_n(bundle, key, args.n))
+            row["facegen"][d] = score_samples(samples, real_px, nn_ds)
+            print(f"  ep{e} {d}: fid_px="
+                  f"{row['facegen'][d]['frechet_pixels_vs_real']:.2f}",
+                  flush=True)
+        for lab, sv in proxies:
+            if e not in px_eps[lab]:
+                continue
+            sb, _ = proxy_samples(sv, e, args.n, args.seed)
+            row["proxy"][lab] = score_samples(
+                np.asarray(sb, np.float32), real_px, nn_ds)
+            print(f"  ep{e} proxy:{lab}: fid_px="
+                  f"{row['proxy'][lab]['frechet_pixels_vs_real']:.2f}",
+                  flush=True)
+
+        fg_vals = sorted(v["frechet_pixels_vs_real"]
+                         for v in row["facegen"].values())
+        if fg_vals:
+            k = len(fg_vals)
+            summary = {
+                "n_runs": k,
+                "mean": float(np.mean(fg_vals)),
+                "std": float(np.std(fg_vals)),
+                "min": float(fg_vals[0]),
+                "median": float(np.median(fg_vals)),
+                "max": float(fg_vals[-1]),
+            }
+            for lab in row["proxy"]:
+                pv = row["proxy"][lab]["frechet_pixels_vs_real"]
+                below = sum(v < pv for v in fg_vals)
+                # probability that a fresh facegen seed beats this proxy
+                # run (empirical), and the rank the proxy would take
+                summary[f"p_facegen_beats_{lab}"] = below / k
+                summary[f"{lab}_rank_among_facegen"] = (
+                    f"{below + 1}/{k + 1}")
+            row["facegen_frechet_summary"] = summary
+        out["budgets"][str(e)] = row
+        flush()
+
+    out["partial"] = False
+    flush()
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

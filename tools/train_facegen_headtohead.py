@@ -41,6 +41,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16",
                    help="compute_dtype (diagnostic: fp32 vs bf16 training)")
+    # round-5 additions: drive other routes (16px grayscale sweep) through
+    # the same stage/snapshot structure
+    p.add_argument("--scale", type=int, default=32)
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--dIterations", type=int, default=2)
+    p.add_argument("--dL2", type=float, default=0.0)
+    p.add_argument("--augment", action="store_true",
+                   help="augment per-epoch on device (for 64px stores); "
+                        "default off — the h2h store is pre-augmented")
     args = p.parse_args(argv)
 
     from facegen.config import TrainConfig
@@ -53,16 +62,20 @@ def main(argv=None):
         save_freq=args.snap,
         noplot=True,
         n_epoch=1000,          # adversarial.lua:54 default
-        d_l1=0.0, d_l2=0.0,    # published-images config (README.md:128)
-        d_iterations=2,
+        d_l1=0.0, d_l2=args.dL2,  # published-images config (README.md:128)
+        d_iterations=args.dIterations,
+        scale=args.scale,
+        grayscale=args.grayscale,
         seed=args.seed,
         epochs=args.epochs,
         epochs_per_compile=args.snap,
         compute_dtype=args.dtype,
     )
     store = np.load(args.store, mmap_mode="r")
-    assert store.shape[1:] == (cfg.scale, cfg.scale, cfg.channels), store.shape
-    source = DataSource(cfg.scale, cfg.channels, store=store, augment=False)
+    if not args.augment:
+        assert store.shape[1:] == (cfg.scale, cfg.scale, 3), store.shape
+    source = DataSource(cfg.scale, cfg.channels, store=store,
+                        augment=args.augment)
     trainer = Trainer(cfg, source=source)
 
     os.makedirs(args.save, exist_ok=True)
