@@ -82,6 +82,20 @@ class TrainConfig:
                                           # viz cadence is preserved)
     trace_dir: Optional[str] = None       # jax.profiler trace of epoch 1
     debug_nans: bool = False              # jax_debug_nans mode
+    noise_view: str = "nhwc"              # how G's fc output becomes planes:
+                                          # "nhwc" reshape (s0,s0,128) (native
+                                          # layout) vs "nchw" = reference
+                                          # nn.View(128,s0,s0) (models.lua:60)
+                                          # followed by a transpose — same
+                                          # architecture, different fc-unit ->
+                                          # (plane, pixel) wiring. Ablation
+                                          # knob for the matched-budget
+                                          # convergence study (ROUND5).
+    g_train_in_d_phase: bool = True       # G forward runs in train mode while
+                                          # making D's fakes (BN running stats
+                                          # update; adversarial.lua:252
+                                          # createImages under net:training()).
+                                          # False = eval-mode fakes (ablation).
     boundary_pad: int = 0                 # widen the G->D image interface to
                                           # this many channels inside the
                                           # train step (exact zero-weight

@@ -57,8 +57,25 @@ def _dense_std(scheme: str, fan_in: int, fan_out: int) -> float:
     return _scheme_fn(scheme)(fan_in, fan_out)
 
 
+def _nchw_view(s0: int, c: int) -> Module:
+    """nn.View(c,s0,s0) (models.lua:60) followed by a CHW->HWC transpose:
+    fc unit ``ch*s0*s0 + y*s0 + x`` feeds plane ``ch`` at pixel (y, x),
+    exactly the reference's unit ordering. Named "reshape" so the param
+    tree matches the native nhwc view (both are parameter-free)."""
+    from facegen.nn.core import stateless
+
+    def init_params(key, in_shape):
+        return {}, (s0, s0, c)
+
+    def apply_fn(params, x, ctx):
+        return x.reshape(x.shape[0], c, s0, s0).transpose(0, 2, 3, 1)
+
+    return stateless("reshape", init_params, apply_fn)
+
+
 def create_g(
-    scale: int, channels: int, noise_dim: int, scheme: str = "heuristic"
+    scale: int, channels: int, noise_dim: int, scheme: str = "heuristic",
+    noise_view: str = "nhwc",
 ) -> Module:
     """G16/G32 dispatch (models.lua:87-93).
 
@@ -76,13 +93,28 @@ def create_g(
     else:
         s0 = scale // 4  # models.lua:59: Linear(noise, 128*8*8) at 32px
 
+    # fc-output -> plane wiring (module docstring "Layout note"):
+    # "nhwc" is the native single-reshape; "nchw" reproduces the
+    # reference's nn.View(128,s0,s0) unit ordering (models.lua:60)
+    # exactly, then transposes to NHWC for the convs. Both are a single
+    # parameter-free module named "reshape" so param trees (and thus
+    # checkpoints) are layout-independent. Distributionally identical at
+    # init (iid fc rows); the ablation checks whether the wiring matters
+    # for training dynamics at matched image budgets (ROUND5).
+    if noise_view == "nchw":
+        view = _nchw_view(s0, 128)
+    elif noise_view == "nhwc":
+        view = L.reshape((s0, s0, 128))
+    else:
+        raise ValueError(f"unknown noise_view {noise_view!r}")
+
     return sequential(
         L.dense(
             128 * s0 * s0,
             w_std=_dense_std(scheme, noise_dim, 128 * s0 * s0),
             name="fc",
         ),
-        L.reshape((s0, s0, 128)),
+        view,
         L.prelu(),
         L.upsample_conv(
             256, 5, 2, w_std=_conv_std(scheme, 128, 256, 5), name="upconv1"
@@ -321,6 +353,7 @@ def init_gan(
     noise_dim: int,
     reference_init: bool = True,
     scheme: str = "heuristic",
+    noise_view: str = "nhwc",
 ) -> Tuple[Module, Module, dict]:
     """Create G and D with reference-parity initialization.
 
@@ -339,7 +372,8 @@ def init_gan(
 
     Returns (G, D, bundle) where bundle holds params/state for both.
     """
-    g = create_g(scale, channels, noise_dim, scheme=scheme)
+    g = create_g(scale, channels, noise_dim, scheme=scheme,
+                 noise_view=noise_view)
     d = create_d(scale, channels)
     kg, kd, kog, kod = jax.random.split(key, 4)
     params_g, state_g, out_g = g.init(kg, (noise_dim,))
@@ -407,9 +441,10 @@ def restore_gan(
         "noise_dim": int(pick(noise_dim, "noise_dim", 100)),
     }
     resolved["channels"] = 1 if resolved["grayscale"] else 3
+    resolved["noise_view"] = str(pick(None, "noise_view", "nhwc"))
     g, d, bundle = init_gan(
         jax.random.key(seed), resolved["scale"], resolved["channels"],
-        resolved["noise_dim"],
+        resolved["noise_dim"], noise_view=resolved["noise_view"],
     )
     bundle, meta = ckpt.load(directory, name, bundle)
     return g, d, bundle, meta, resolved

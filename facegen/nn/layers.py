@@ -391,6 +391,23 @@ def reshape(shape: Sequence[int], name: str = "reshape") -> Module:
     return stateless(name, init_params, apply_fn)
 
 
+def permute(dims: Sequence[int], name: str = "permute") -> Module:
+    """Per-example axis permutation (batch axis fixed), e.g. NCHW->NHWC
+    plane re-wiring with ``dims=(1, 2, 0)``. XLA folds the transpose
+    into the neighbouring reshape/conv, so it costs no extra HBM pass."""
+    dims = tuple(dims)
+
+    def init_params(key, in_shape):
+        if len(dims) != len(in_shape) or sorted(dims) != list(range(len(in_shape))):
+            raise ValueError(f"permute dims {dims} invalid for rank-{len(in_shape)} input")
+        return {}, tuple(in_shape[d] for d in dims)
+
+    def apply_fn(params, x, ctx):
+        return x.transpose((0,) + tuple(d + 1 for d in dims))
+
+    return stateless(name, init_params, apply_fn)
+
+
 def subpixel_conv(
     features: int,
     kernel: int,

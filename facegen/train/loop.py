@@ -60,7 +60,7 @@ class Trainer:
         self.source = source if source is not None else make_source(cfg)
         self.g, self.d, bundle = gan.init_gan(
             jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim,
-            reference_init=cfg.reference_init,
+            reference_init=cfg.reference_init, noise_view=cfg.noise_view,
         )
         self.state = init_state(cfg, bundle)
         self.inf = GanInference(self.g, self.d, cfg.noise_dim, cfg.compute_dtype)

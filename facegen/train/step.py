@@ -274,8 +274,10 @@ def make_train_step(
         )
         # G forward in train mode: BN running stats update, like
         # createImages under net:training() (adversarial.lua:252).
+        # cfg.g_train_in_d_phase=False is the ablation that freezes G's
+        # BN stats while making D's fakes (ROUND5 convergence study).
         fake, state_g = g.apply(g_view(state.params_g), state.state_g, noise,
-                                Ctx(k_gen, True))
+                                Ctx(k_gen, cfg.g_train_in_d_phase))
         fake = lax.stop_gradient(fake)
         inputs = jnp.concatenate([real, fake], axis=0)
         targets = jnp.concatenate(

@@ -151,3 +151,36 @@ def test_init_scheme_scales_and_zeroed_biases(scheme, scale_fn):
         assert float(np.abs(np.asarray(
             jax.tree_util.tree_leaves({k: v for k, v in pg[layer].items()
                                        if k == "b"})[0])).max()) == 0.0
+
+
+@pytest.mark.smoke
+def test_noise_view_nchw_matches_reference_wiring():
+    """`noise_view="nchw"` reproduces nn.View(128,s0,s0) (models.lua:60):
+    fc unit c*s0*s0 + y*s0 + x must feed plane c at pixel (y, x), and the
+    param tree must be identical to the native nhwc view (permute is
+    parameter-free), so checkpoints restore into either wiring."""
+    g, _, bundle = gan.init_gan(jax.random.key(0), 32, 3, 100,
+                                reference_init=False, noise_view="nchw")
+    g2, _, b2 = gan.init_gan(jax.random.key(0), 32, 3, 100,
+                             reference_init=False, noise_view="nhwc")
+    assert jax.tree.structure(bundle["params_g"]) == jax.tree.structure(
+        b2["params_g"])
+
+    # isolate the view stage: make fc output the unit index itself
+    s0 = 8
+    flat = jnp.arange(128 * s0 * s0, dtype=jnp.float32)
+    nchw = flat.reshape(128, s0, s0)
+    nhwc_of_nchw = jnp.transpose(nchw, (1, 2, 0))
+    from facegen.nn import layers as L
+    view = L.permute((1, 2, 0))
+    vp, vs, out_shape = view.init(jax.random.key(0), (128, s0, s0))
+    assert out_shape == (s0, s0, 128)
+    got, _ = view.apply(vp, vs, nchw[None], Ctx(None, False))
+    got = got[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(nhwc_of_nchw))
+
+    # end-to-end: G still produces valid images under the nchw view
+    z = jax.random.uniform(jax.random.key(1), (2, 100), minval=-1, maxval=1)
+    imgs, _ = g.apply(bundle["params_g"], bundle["state_g"], z,
+                      Ctx(jax.random.key(2), False))
+    assert imgs.shape == (2, 32, 32, 3)

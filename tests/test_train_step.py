@@ -292,3 +292,31 @@ def test_boundary_pad_skips_models_without_conv_boundary():
     step = jax.jit(make_train_step(g, d, cfg))
     new_state, m = step(state, jax.random.key(0), pool)
     assert bool(jnp.isfinite(m.loss_d)) and bool(jnp.isfinite(m.loss_g))
+
+
+@pytest.mark.smoke
+def test_ablation_knobs_epoch_runs():
+    """ROUND5 convergence-study knobs: nchw noise view + eval-mode G
+    during the D phase both compile into the epoch scan and train."""
+    cfg = tiny_cfg(n_epoch=16, noise_view="nchw", g_train_in_d_phase=False)
+    g, d, bundle = gan.init_gan(
+        jax.random.key(cfg.seed), cfg.scale, cfg.channels, cfg.noise_dim,
+        reference_init=cfg.reference_init, noise_view=cfg.noise_view,
+    )
+    state = init_state(cfg, bundle)
+    pool = jax.random.randint(
+        jax.random.key(7), (64,) + cfg.img_shape, 0, 256, jnp.uint8
+    )
+    epoch = jax.jit(make_epoch_fn(g, d, cfg))
+    state2, ms = epoch(state, jax.random.key(1), pool)
+    assert bool(jnp.isfinite(ms.loss_d).all())
+    assert bool(jnp.isfinite(ms.loss_g).all())
+    # with g_train_in_d_phase=False, G's BN running stats must move only
+    # via the G phase (g_iterations=1 per step), not the 1 D iteration;
+    # they must still differ from init (G phase ran in train mode)
+    leaves0 = jax.tree.leaves(state.state_g)
+    leaves2 = jax.tree.leaves(state2.state_g)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves2)
+    )

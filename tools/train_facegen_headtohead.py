@@ -50,6 +50,18 @@ def main(argv=None):
     p.add_argument("--augment", action="store_true",
                    help="augment per-epoch on device (for 64px stores); "
                         "default off — the h2h store is pre-augmented")
+    # round-5 convergence-study ablations (docs/PARITY.md round-5 table)
+    p.add_argument("--noiseView", default="nhwc", choices=["nhwc", "nchw"],
+                   help="G fc->plane wiring: native nhwc reshape vs the "
+                        "reference's nn.View(128,s0,s0) unit order")
+    p.add_argument("--gEvalInDPhase", action="store_true",
+                   help="freeze G's BN running stats while generating "
+                        "D-phase fakes (default: train mode, like "
+                        "adversarial.lua:252)")
+    p.add_argument("--resume-from", type=int, default=0,
+                   help="continue from <save>/adversarial_ep<N> (epoch "
+                        "counter, optimizer state and RNG schedule resume; "
+                        "train/loop.py Trainer.resume)")
     args = p.parse_args(argv)
 
     from facegen.config import TrainConfig
@@ -70,6 +82,11 @@ def main(argv=None):
         epochs=args.epochs,
         epochs_per_compile=args.snap,
         compute_dtype=args.dtype,
+        noise_view=args.noiseView,
+        g_train_in_d_phase=not args.gEvalInDPhase,
+        network=(os.path.join(args.save,
+                              f"adversarial_ep{args.resume_from:05d}")
+                 if args.resume_from else ""),
     )
     store = np.load(args.store, mmap_mode="r")
     if not args.augment:
@@ -81,7 +98,7 @@ def main(argv=None):
     os.makedirs(args.save, exist_ok=True)
     log_path = os.path.join(args.save, "train_log.jsonl")
     t0 = time.time()
-    done = 0
+    done = args.resume_from
     with open(log_path, "a") as log:
         while done < args.epochs:
             n = min(args.snap, args.epochs - done)
