@@ -47,7 +47,7 @@ def test_restore_gan_zero_flags(tmp_path):
     g, d, bundle, meta, res = gan.restore_gan(
         "adversarial", default_dir=cfg.save)
     assert res == {"scale": 16, "grayscale": True, "channels": 1,
-                   "noise_dim": 16}
+                   "noise_dim": 16, "noise_view": "nhwc"}
     assert meta["config"]["scale"] == 16
     # the rebuilt G generates at the checkpoint's own shape
     from facegen.utils.infer import GanInference

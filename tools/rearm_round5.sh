@@ -47,6 +47,19 @@ if ! alive /tmp/fg_long10k.pid; then
         echo $! > /tmp/fg_long10k.pid; echo "re-armed long-run extension @$last"
     fi
 fi
+# 5b) 16px route long run (resumes from latest snapshot)
+if ! alive /tmp/scale16.pid; then
+    last16=$(ls -d logs/scale16_r5/adversarial_ep* 2>/dev/null |
+             sed 's/.*_ep0*//' | sort -n | tail -1)
+    if [ -z "$last16" ] || [ "$last16" -lt 20000 ]; then
+        nohup python tools/train_facegen_headtohead.py \
+            --store dataset/refgrid64.npy --save logs/scale16_r5 \
+            --epochs 20000 --snap 1000 --scale 16 --grayscale --augment \
+            --dIterations 1 --dL2 1e-4 --seed 1 \
+            ${last16:+--resume-from "$last16"} > /tmp/scale16.log 2>&1 &
+        echo $! > /tmp/scale16.pid; echo "re-armed scale16 run @${last16:-0}"
+    fi
+fi
 # 6) seed-spread scorer (recomputes + flushes incrementally; cheap to redo)
 if ! alive /tmp/spread_score.pid; then
     if ! python -c "import json,sys; d=json.load(open('docs/artifacts/seed_spread.json')); sys.exit(0 if not d['partial'] else 1)" 2>/dev/null; then
