@@ -72,6 +72,11 @@ def main(argv=None):
                    help="comma-separated epochs; default = every epoch "
                         "where >= 2 facegen runs and >= 1 proxy run "
                         "have snapshots")
+    p.add_argument("--merge", action="store_true",
+                   help="keep budgets already present in --out (scored at "
+                        "the same n) instead of rescoring them; only new "
+                        "budgets, or existing budgets that gained a proxy "
+                        "snapshot, are (re)computed")
     args = p.parse_args(argv)
 
     import jax
@@ -124,6 +129,11 @@ def main(argv=None):
         "partial": True,
         "budgets": {},
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("setup", {}).get("n") == args.n:
+            out["budgets"] = prev.get("budgets", {})
 
     def flush():
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -135,9 +145,13 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     inf_cache: dict = {}
     for e in budgets:
+        have = out["budgets"].get(str(e), {}) if args.merge else {}
         row = {"images_seen": e * 1000, "facegen": {}, "proxy": {}}
         for d in fg_dirs:
             if e not in fg_eps[d]:
+                continue
+            if d in have.get("facegen", {}):
+                row["facegen"][d] = have["facegen"][d]
                 continue
             ck = os.path.join(d, f"adversarial_ep{e:05d}")
             g, dd, bundle, meta, _ = parity._load_gan(ck)
@@ -149,6 +163,9 @@ def main(argv=None):
                   flush=True)
         for lab, sv in proxies:
             if e not in px_eps[lab]:
+                continue
+            if lab in have.get("proxy", {}):
+                row["proxy"][lab] = have["proxy"][lab]
                 continue
             sb, _ = proxy_samples(sv, e, args.n, args.seed)
             row["proxy"][lab] = score_samples(
