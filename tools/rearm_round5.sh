@@ -60,14 +60,26 @@ if ! alive /tmp/scale16.pid; then
         echo $! > /tmp/scale16.pid; echo "re-armed scale16 run @${last16:-0}"
     fi
 fi
+# 5c) 16px no-augment run (train/eval distribution match test; resumes)
+if ! alive /tmp/scale16_noaug.pid; then
+    lastna=$(ls -d logs/scale16_noaug/adversarial_ep* 2>/dev/null |
+             sed 's/.*_ep0*//' | sort -n | tail -1)
+    if [ -z "$lastna" ] || [ "$lastna" -lt 20000 ]; then
+        nohup python tools/train_facegen_headtohead.py \
+            --store dataset/refgrid16.npy --save logs/scale16_noaug \
+            --epochs 20000 --snap 1000 --scale 16 --grayscale \
+            --dIterations 1 --dL2 1e-4 --seed 1 \
+            ${lastna:+--resume-from "$lastna"} > /tmp/scale16_noaug.log 2>&1 &
+        echo $! > /tmp/scale16_noaug.pid
+        echo "re-armed scale16 no-aug run @${lastna:-0}"
+    fi
+fi
 # 6) seed-spread scorer (recomputes + flushes incrementally; cheap to redo)
 if ! alive /tmp/spread_score.pid; then
-    if ! python -c "import json,sys; d=json.load(open('docs/artifacts/seed_spread.json')); sys.exit(0 if not d['partial'] else 1)" 2>/dev/null; then
-        nohup python tools/seed_spread_report.py \
-            --facegen logs/facegen_headtohead --facegen 'logs/fgspread_s*' \
-            --proxy main=logs/proxy_headtohead --proxy seed2=logs/proxy_seed2 \
-            --out docs/artifacts/seed_spread.json --n 2048 \
-            > /tmp/spread_score.log 2>&1 &
-        echo $! > /tmp/spread_score.pid; echo "re-armed spread scorer"
-    fi
+    nohup python tools/seed_spread_report.py \
+        --facegen logs/facegen_headtohead --facegen 'logs/fgspread_s*' \
+        --proxy main=logs/proxy_headtohead --proxy seed2=logs/proxy_seed2 \
+        --out docs/artifacts/seed_spread.json --n 2048 --merge \
+        > /tmp/spread_score.log 2>&1 &
+    echo $! > /tmp/spread_score.pid; echo "re-armed spread scorer (merge)"
 fi
