@@ -1,4 +1,10 @@
 #!/bin/bash
+# ROUND 5 COMPLETE (2026-08-19 ~17:30 UTC): every background job below
+# finished and its artifact is committed (seed_spread.json partial:false,
+# quality_ceiling.json, ablation_convergence.json, parity_scale16.json v2,
+# scale16 runs @ep20000, long run @ep10000). Nothing left to re-arm.
+exit 0
+
 # Re-arm round-5 background runs after a VM restart (PROGRESS notes show
 # restarts silently kill nohup'd jobs). Safe to run repeatedly: every
 # job either skips completed work or resumes from its latest snapshot.
