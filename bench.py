@@ -441,9 +441,12 @@ def full_suite():
     import json as _json
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
-    results = {"methodology": "round-4 timing: each config measured as one "
-                              "compiled 25-epoch program (see "
-                              "bench_facegen_tpu docstring / docs/KERNELS.md)"}
+    results = {"methodology": "round-4 timing: each TRAIN config measured "
+                              "as one compiled 25-epoch program (see "
+                              "bench_facegen_tpu docstring / docs/KERNELS.md); "
+                              "sample_pipeline is timed as 5 host-driven "
+                              "pipeline runs (generate+rank+NN is a one-shot "
+                              "pipeline, not an epoch loop)"}
     log("config 2: color GAN train (headline)...")
     ips, mfu = bench_facegen_tpu()
     results["gan_color_32"] = {"images_per_sec": ips, "mfu": mfu}

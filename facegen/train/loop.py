@@ -154,6 +154,18 @@ class Trainer:
         a reference-style `.net` suffix is tolerated."""
         directory, name = ckpt.split_network_arg(network, self.cfg.save)
         state, meta = ckpt.load(directory, name, self.state)
+        # the nchw/nhwc noise views share an identical (parameter-free)
+        # tree, so a mismatched resume cannot fail on shapes — it would
+        # silently scramble the fc-to-plane wiring; every other config
+        # mismatch fails loudly. Check it explicitly.
+        ck_view = (meta or {}).get("config", {}).get("noise_view")
+        cfg_view = getattr(self.cfg, "noise_view", None)
+        if ck_view is not None and cfg_view is not None and ck_view != cfg_view:
+            raise ValueError(
+                f"checkpoint {network!r} was trained with "
+                f"noise_view={ck_view!r} but this run uses "
+                f"noise_view={cfg_view!r}; pass the matching --noiseView"
+            )
         self.state = state
         self._log(
             f"<trainer> reloaded previously trained network: {network} "

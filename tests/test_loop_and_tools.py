@@ -103,6 +103,27 @@ def test_trainer_epoch_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_rejects_noise_view_mismatch(tmp_path):
+    """The nchw/nhwc noise views share an identical parameter-free tree
+    (tests/test_models.py), so a mismatched resume cannot fail on shapes
+    — Trainer.resume must check the checkpoint's stored noise_view and
+    refuse, else training silently continues with scrambled fc wiring."""
+    from facegen.train.loop import CKPT_NAME, Trainer
+
+    cfg = tiny_cfg(tmp_path, noise_view="nchw")
+    tr = Trainer(cfg, verbose=False)
+    tr.train_epoch(0)  # save_freq=1 -> checkpoint written
+
+    cfg2 = tiny_cfg(tmp_path, noise_view="nhwc", network=CKPT_NAME)
+    with pytest.raises(ValueError, match="noise_view"):
+        Trainer(cfg2, verbose=False)
+
+    # matching view resumes fine
+    cfg3 = tiny_cfg(tmp_path, noise_view="nchw", network=CKPT_NAME)
+    tr3 = Trainer(cfg3, verbose=False)
+    assert int(tr3.state.epoch) == int(tr.state.epoch)
+
+
 def test_run_resume_continues_rng_stream(tmp_path):
     """run() after a --network resume must CONTINUE the per-epoch RNG
     stream from the restored epoch counter (review fix: restarting at

@@ -330,11 +330,15 @@ def main(argv=None):
             os.path.join(args.facegen_save, "adversarial_ep*"))
         if (m := re.search(r"adversarial_ep(\d+)$", p)))
     equal_wallclock = None
-    if fg_eps and fg_eps[-1] > final:
+    # the proxy may have snapshots beyond the last MATCHED epoch; the
+    # "furthest vs furthest" comparison must use its true furthest
+    px_last = proxy_epochs(args.proxy_save)[-1]
+    if fg_eps and fg_eps[-1] > px_last:
         fg_last = fg_eps[-1]
         g2, d2, bundle2, meta2, _ = parity._load_gan(
             os.path.join(args.facegen_save, f"adversarial_ep{fg_last:05d}"))
-        sb, _ = proxy_samples(args.proxy_save, final, args.n_final, args.seed)
+        sb, _ = proxy_samples(args.proxy_save, px_last, args.n_final,
+                              args.seed)
         rep = parity.sample_report(
             g2, d2, bundle2, sb,
             train_images=train_images,
@@ -346,7 +350,7 @@ def main(argv=None):
         # directional claim derived from the measured elapsed values, not
         # hardcoded (advisor round-4 finding)
         fg_el = log_elapsed(args.facegen_save, fg_last)
-        px_el = log_elapsed(args.proxy_save, final)
+        px_el = log_elapsed(args.proxy_save, px_last)
         if fg_el is not None and px_el is not None and fg_el < px_el:
             ew_note = ("facegen's furthest snapshot vs the proxy's furthest "
                        "— facegen reached MORE images in LESS wall-clock "
@@ -361,8 +365,8 @@ def main(argv=None):
             "facegen_epoch": fg_last,
             "facegen_images_seen": fg_last * 1000,
             "facegen_elapsed_s": fg_el,
-            "torch_proxy_epoch": final,
-            "torch_proxy_images_seen": final * 1000,
+            "torch_proxy_epoch": px_last,
+            "torch_proxy_images_seen": px_last * 1000,
             "torch_proxy_elapsed_s": px_el,
             "frechet_pixels": rep["frechet_pixels"],
             "frechet_d_features": rep["frechet_d_features"],
@@ -371,7 +375,7 @@ def main(argv=None):
         }
         px = rep["frechet_pixels"]
         print(f"equal-wallclock: facegen ep{fg_last} pixel Fréchet vs real "
-              f"{px['facegen_vs_real']:.2f} vs proxy ep{final} "
+              f"{px['facegen_vs_real']:.2f} vs proxy ep{px_last} "
               f"{px['torch_proxy_vs_real']:.2f}", flush=True)
 
     out["equal_wallclock"] = equal_wallclock

@@ -120,6 +120,7 @@ def main(argv=None):
         "setup": {
             "store": args.store,
             "n": args.n,
+            "seed": args.seed,
             "metric": "pixel Fréchet vs first-n store images + mean NN "
                       "distance; matches parity_headtohead.json conventions",
             "facegen_runs": fg_dirs,
@@ -132,7 +133,14 @@ def main(argv=None):
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)
-        if prev.get("setup", {}).get("n") == args.n:
+        # reuse rows only if BOTH the sample count and the sampling seed
+        # match — otherwise old rows were scored on a different sample
+        # population and mixing them would be silent (a seed of None in
+        # an old artifact predates seed recording: treat as seed 7, the
+        # default every committed artifact was produced with)
+        prev_setup = prev.get("setup", {})
+        if (prev_setup.get("n") == args.n
+                and prev_setup.get("seed", 7) == args.seed):
             out["budgets"] = prev.get("budgets", {})
 
     def flush():
@@ -143,7 +151,6 @@ def main(argv=None):
         os.replace(tmp, args.out)
 
     key = jax.random.key(args.seed)
-    inf_cache: dict = {}
     for e in budgets:
         have = out["budgets"].get(str(e), {}) if args.merge else {}
         row = {"images_seen": e * 1000, "facegen": {}, "proxy": {}}

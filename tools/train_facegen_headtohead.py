@@ -98,6 +98,20 @@ def main(argv=None):
     os.makedirs(args.save, exist_ok=True)
     log_path = os.path.join(args.save, "train_log.jsonl")
     t0 = time.time()
+    # carry wall-clock across resumes (the torch proxy trainer does the
+    # same), else a resumed run's `elapsed` restarts at 0 and corrupts
+    # the equal-wallclock comparison in tools/headtohead_report.py
+    elapsed0 = 0.0
+    if args.resume_from and os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (row.get("epoch", 0) <= args.resume_from
+                        and "elapsed" in row):
+                    elapsed0 = max(elapsed0, float(row["elapsed"]))
     done = args.resume_from
     with open(log_path, "a") as log:
         while done < args.epochs:
@@ -108,7 +122,7 @@ def main(argv=None):
                            isinstance(v, float) else v)
                        for k, v in stats.items()
                        if isinstance(v, (int, float)) or hasattr(v, "item")}
-                row["elapsed"] = round(time.time() - t0, 1)
+                row["elapsed"] = round(elapsed0 + time.time() - t0, 1)
                 log.write(json.dumps(row) + "\n")
             log.flush()
             done += n
