@@ -85,14 +85,38 @@ def main(argv=None):
     from facegen.utils.infer import GanInference, prepare_nn_dataset
     from tools.headtohead_report import proxy_epochs, proxy_samples
 
+    # Under --merge, load the previous artifact FIRST: already-scored rows
+    # must survive even when the checkpoints behind them no longer exist
+    # on disk (this box's logs/ lives outside git and has been reset).
+    prev_budgets = {}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        # reuse rows only if BOTH the sample count and the sampling seed
+        # match — otherwise old rows were scored on a different sample
+        # population and mixing them would be silent (a seed of None in
+        # an old artifact predates seed recording: treat as seed 7, the
+        # default every committed artifact was produced with)
+        prev_setup = prev.get("setup", {})
+        if (prev_setup.get("n") == args.n
+                and prev_setup.get("seed", 7) == args.seed):
+            prev_budgets = prev.get("budgets", {})
+
     fg_dirs = []
     for spec in args.facegen:
         hits = sorted(glob.glob(spec)) or [spec]
         fg_dirs += [h for h in hits if os.path.isdir(h)]
+    # previously-scored runs whose checkpoints are gone still count
+    for row in prev_budgets.values():
+        fg_dirs += list(row.get("facegen", {}))
     fg_dirs = list(dict.fromkeys(fg_dirs))
     if not fg_dirs:
         raise SystemExit("no facegen save dirs found")
     proxies = [s.split("=", 1) for s in args.proxy]
+    for row in prev_budgets.values():
+        for lab in row.get("proxy", {}):
+            if lab not in {l for l, _ in proxies}:
+                proxies.append([lab, "<merged-from-artifact>"])
 
     store = np.load(args.store, mmap_mode="r")
     train_images = np.asarray(store, np.float32) / 255.0
@@ -101,7 +125,14 @@ def main(argv=None):
     nn_ds = prepare_nn_dataset(train_images)
 
     fg_eps = {d: set(facegen_epochs(d)) for d in fg_dirs}
-    px_eps = {lab: set(proxy_epochs(sv)) for lab, sv in proxies}
+    px_eps = {lab: set(proxy_epochs(sv)) if os.path.isdir(sv) else set()
+              for lab, sv in proxies}
+    # epochs covered by the previous artifact count as "has a snapshot"
+    for es, row in prev_budgets.items():
+        for d in row.get("facegen", {}):
+            fg_eps[d].add(int(es))
+        for lab in row.get("proxy", {}):
+            px_eps[lab].add(int(es))
     if args.budgets:
         budgets = [int(b) for b in args.budgets.split(",")]
     else:
@@ -130,18 +161,7 @@ def main(argv=None):
         "partial": True,
         "budgets": {},
     }
-    if args.merge and os.path.exists(args.out):
-        with open(args.out) as f:
-            prev = json.load(f)
-        # reuse rows only if BOTH the sample count and the sampling seed
-        # match — otherwise old rows were scored on a different sample
-        # population and mixing them would be silent (a seed of None in
-        # an old artifact predates seed recording: treat as seed 7, the
-        # default every committed artifact was produced with)
-        prev_setup = prev.get("setup", {})
-        if (prev_setup.get("n") == args.n
-                and prev_setup.get("seed", 7) == args.seed):
-            out["budgets"] = prev.get("budgets", {})
+    out["budgets"] = dict(prev_budgets)
 
     def flush():
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -155,12 +175,16 @@ def main(argv=None):
         have = out["budgets"].get(str(e), {}) if args.merge else {}
         row = {"images_seen": e * 1000, "facegen": {}, "proxy": {}}
         for d in fg_dirs:
-            if e not in fg_eps[d]:
-                continue
             if d in have.get("facegen", {}):
                 row["facegen"][d] = have["facegen"][d]
                 continue
+            if e not in fg_eps[d]:
+                continue
             ck = os.path.join(d, f"adversarial_ep{e:05d}")
+            if not os.path.isdir(ck):
+                print(f"  ep{e} {d}: checkpoint gone and no merged row — "
+                      f"skipped", flush=True)
+                continue
             g, dd, bundle, meta, _ = parity._load_gan(ck)
             inf = GanInference(g, dd, int(meta.get("noise_dim", 100)))
             samples = np.asarray(inf.generate_n(bundle, key, args.n))
@@ -169,10 +193,10 @@ def main(argv=None):
                   f"{row['facegen'][d]['frechet_pixels_vs_real']:.2f}",
                   flush=True)
         for lab, sv in proxies:
-            if e not in px_eps[lab]:
-                continue
             if lab in have.get("proxy", {}):
                 row["proxy"][lab] = have["proxy"][lab]
+                continue
+            if e not in px_eps[lab] or not os.path.isdir(sv):
                 continue
             sb, _ = proxy_samples(sv, e, args.n, args.seed)
             row["proxy"][lab] = score_samples(
