@@ -702,3 +702,48 @@ def test_headtohead_report_helpers(tmp_path):
     assert hr.log_elapsed(str(tmp_path), 2) == 350.0
     assert hr.log_elapsed(str(tmp_path), 3) is None
     assert hr.log_elapsed(str(tmp_path / "missing"), 1) is None
+
+
+def test_seed_spread_merge_survives_checkpoint_loss(tmp_path):
+    """`seed_spread_report --merge` must carry previously-scored rows
+    forward even when every checkpoint behind them is gone from disk
+    (logs/ lives outside git; the round-5 environment reset wiped it).
+    Regression: the old merge consulted the artifact only for save dirs
+    still present on disk, silently dropping all committed rows."""
+    import json
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools import seed_spread_report as ssr
+
+    store = tmp_path / "store.npy"
+    np.save(store, np.zeros((16, 8, 8, 3), np.uint8))
+
+    fg_rows = {
+        "logs/gone_a": {"frechet_pixels_vs_real": 10.0, "nn_distance_mean": 1.0},
+        "logs/gone_b": {"frechet_pixels_vs_real": 20.0, "nn_distance_mean": 2.0},
+    }
+    px_rows = {"main": {"frechet_pixels_vs_real": 15.0, "nn_distance_mean": 1.5}}
+    prev = {
+        "setup": {"n": 8, "seed": 7},
+        "budgets": {"10": {"images_seen": 10000,
+                           "facegen": dict(fg_rows), "proxy": dict(px_rows)}},
+    }
+    out = tmp_path / "spread.json"
+    out.write_text(json.dumps(prev))
+
+    # no --facegen dir exists on disk, no --proxy given: everything must
+    # come from the artifact (budget auto-selection included)
+    ssr.main(["--merge", "--facegen", str(tmp_path / "nonexistent_*"),
+              "--store", str(store), "--n", "8", "--out", str(out)])
+
+    got = json.loads(out.read_text())
+    assert got["partial"] is False
+    row = got["budgets"]["10"]
+    assert row["facegen"] == fg_rows
+    assert row["proxy"] == px_rows
+    s = row["facegen_frechet_summary"]
+    assert s["n_runs"] == 2 and s["min"] == 10.0 and s["max"] == 20.0
+    assert s["main_rank_among_facegen"] == "2/3"
